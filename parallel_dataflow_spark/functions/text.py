@@ -1,0 +1,80 @@
+"""Text-analysis column expressions — all JVM-side builtins.
+
+Every function here is a pure Catalyst expression (codegen, pushdown-safe)
+with an exact ANSI-SQL twin used by the DuckDB oracle, so each is
+oracle-checkable. Heuristics are deliberately simple + deterministic:
+lang-id by stopword votes, quality by length/punct/stopword ratios,
+fingerprint by md5 of normalized text (the rolling-hash stand-in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny stopword lists for the lang-id vote (en/de/fr) — heuristic, not a model
+EN_STOPS = ("the", "and", "of", "to", "in")
+DE_STOPS = ("der", "die", "und", "das", "ist")
+FR_STOPS = ("le", "la", "et", "les", "des")
+
+
+def norm_text(text: Column) -> Column:
+    """lower + collapse whitespace — canonical form for fingerprints."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint_md5(text: Column) -> Column:
+    return F.md5(norm_text(text))
+
+
+def word_count_expr(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """fraction of chars that are ASCII punctuation (rounded 4dp)."""
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.round(punct / F.greatest(F.length(text), F.lit(1)), 4)
+
+
+def _stop_hits(text_lower: Column, stops: tuple[str, ...]) -> Column:
+    """count of stopword occurrences as whole words (space-padded trick:
+    identical semantics in Spark and DuckDB regexp engines avoided by using
+    plain substring counting on ' word ' in ' text ')."""
+    padded = F.concat(F.lit(" "), F.regexp_replace(text_lower, r"\s+", " "), F.lit(" "))
+    total = F.lit(0)
+    for w in stops:
+        needle = f" {w} "
+        total = total + (F.length(padded) - F.length(F.replace(padded, F.lit(needle)))) / len(needle)
+    return total.cast("int")
+
+
+def stopword_hits_expr(text: Column, lang: str = "en") -> Column:
+    stops = {"en": EN_STOPS, "de": DE_STOPS, "fr": FR_STOPS}[lang]
+    return _stop_hits(F.lower(text), stops)
+
+
+def lang_vote_expr(text: Column) -> Column:
+    """argmax of stopword hits over {en, de, fr}; ties break en > de > fr."""
+    lo = F.lower(text)
+    en, de, fr = (_stop_hits(lo, s) for s in (EN_STOPS, DE_STOPS, FR_STOPS))
+    return (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """[0,1] quality heuristic: longer docs, moderate punctuation, some
+    stopwords → higher. score = min(1, n_words/200)*0.5
+    + min(1, stop_hits/10)*0.3 + (1 - min(1, punct_ratio*10))*0.2, 4dp."""
+    n_words = word_count_expr(text).cast("double")
+    stops = stopword_hits_expr(text).cast("double")
+    punct = punct_ratio_expr(text)
+    score = (
+        F.least(n_words / 200.0, F.lit(1.0)) * 0.5
+        + F.least(stops / 10.0, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct * 10.0, F.lit(1.0))) * 0.2
+    )
+    return F.round(score, 4)

@@ -1,0 +1,766 @@
+"""Query registry: the driver-contract surface.
+
+Each entry couples a DataFrame-native Spark implementation with its exact
+ANSI-SQL twin (DuckDB oracle). Naming contract: every computed column is
+aliased identically on both sides; floats are rounded on both sides;
+window starts are exported as epoch seconds (bigint) because Spark and
+DuckDB disagree on timestamp rendering.
+
+Operator-category coverage map (SURVEY.md §2.2) is in the docstring of each
+query function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parallel_dataflow_spark.operators import dedup as dd
+from parallel_dataflow_spark.functions import text as tx
+from parallel_dataflow_spark.functions import vectors as vx
+from parallel_dataflow_spark.functions.tokens import tokenize_text, top_token_udf
+from parallel_dataflow_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _epoch(ts_col) -> F.Column:
+    """Epoch seconds from TIMESTAMP or TIMESTAMP_NTZ (session tz = UTC, so
+    NTZ→LTZ is a no-op wall-clock-wise and matches DuckDB's epoch())."""
+    return ts_col.cast("timestamp_ltz").cast("long")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core: scan/filter/project/agg/join/window/sort/set-ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter pushdown + hash agg (partial/final automatic).
+    TPC-H Q1 shape — the canonical groupBy-heavy scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(epoch(o_orderdate) AS BIGINT)                AS orderdate_epoch
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (TPC-H Q3 shape).
+    customer is the small side at scale per-segment — Catalyst/AQE
+    broadcasts it; the lineitem⋈orders join shuffles on orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            _epoch(F.col("o_orderdate")).alias("orderdate_epoch"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way star join (TPC-H Q5 shape): fact tables shuffle on their keys,
+    dims (region/nation/supplier) broadcast explicitly."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure predicate + global agg (TPC-H Q6): every predicate pushes to
+    the parquet scan; no shuffle beyond the single-row final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_no_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: top-3 orders per customer (rank + filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "running_total_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame window aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "setop_nations_cust_and_supp",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def setop_nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level set op: INTERSECT of two join projections."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cust_n = n.join(c, c.c_nationkey == n.n_nationkey).select("n_name")
+    supp_n = n.join(s, s.s_nationkey == n.n_nationkey).select("n_name")
+    return cust_n.intersect(supp_n)
+
+
+@register(
+    "distinct_customers_per_priority",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (two-phase expand + agg in Spark)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "skew_salted_source_totals",
+    """
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def skew_salted_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (north-rule skew handling): stage 1
+    aggregates on (source, salt=pmod(xxhash64(doc_id),16)) so a hot source
+    spreads over 16 reducers; stage 2 merges partials. Result is identical
+    to a plain groupBy — the oracle checks that."""
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    partial = salted.groupBy("source", "salt").agg(
+        F.sum("n_chars").alias("pc"), F.count("*").alias("pn")
+    )
+    return partial.groupBy("source").agg(
+        F.sum("pc").cast("long").alias("total_chars"),
+        F.sum("pn").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch twins of the streaming surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_10m",
+    """
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch twin of the streaming query)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            _epoch(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_10m_5m",
+    """
+    WITH slid AS (
+      SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT) AS ws, event_type, value FROM events
+    )
+    SELECT ws AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 10m/5m — each event lands in 2 windows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            _epoch(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session_5m",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           + INTERVAL 5 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def events_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 5-minute gap (batch session_window — same operator
+    the streaming surface uses)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            _epoch(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 4).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "events_stream_join_10m",
+    """
+    SELECT a.user_id AS user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def events_stream_join_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join:
+    click→purchase within 10 minutes per user."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").alias("a")
+    b = e.filter(F.col("event_type") == "purchase").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_words,
+           round(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text statistics + md5 fingerprint — all JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.word_count_expr(F.col("text")).alias("n_words"),
+        tx.punct_ratio_expr(F.col("text")).alias("punct_ratio"),
+        tx.fingerprint_md5(F.col("text")).alias("fingerprint"),
+    )
+
+
+@register(
+    "quality_scores",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        round(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+              / greatest(length(text), 1), 4) AS punct_ratio,
+        CAST((length(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ')
+              - length(replace(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ', ' the ', ''))) / 5
+           + (length(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ')
+              - length(replace(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ', ' and ', ''))) / 5
+           + (length(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ')
+              - length(replace(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ', ' of ', ''))) / 4
+           + (length(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ')
+              - length(replace(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ', ' to ', ''))) / 4
+           + (length(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ')
+              - length(replace(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ', ' in ', ''))) / 4
+           AS INT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           round(least(n_words / 200.0, 1.0) * 0.5
+                 + least(stop_hits / 10.0, 1.0) * 0.3
+                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 4) AS quality
+    FROM s
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score_expr(F.col("text")).alias("quality"))
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ), groups AS (
+      SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keeper
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT fp.doc_id, fp.fingerprint, groups.keeper, groups.n_dups
+    FROM fp JOIN groups USING (fingerprint)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint; maps every
+    doc to its group keeper."""
+    return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\\s+')[i+2]
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {band}
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) >= {thr}
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE.format(band=50, thr=0.5))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs with lang+length blocking."""
+    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_MINHASH_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\\s+')[i+2]
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) >= 0.7
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-Jaccard verified (>=0.7).
+    Oracle = brute-force pairwise Jaccard: sound because candidates are
+    exactly verified and LSH recall at (t=0.7, b=32, r=4) is ~0.9998
+    (validated == brute force on the test corpus)."""
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming<=8 on 64-bit signatures). The
+    signature depends on Spark's xxhash64 — not SQL-expressible, so this is
+    a rows-only entry."""
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "knn_cosine_top5",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   / greatest(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-12),
+                   4) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id<5), JVM-side
+    higher-order-function arithmetic (sequential fold — deterministic,
+    matches the oracle's evaluation order)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                vx.dot_expr(F.col("qvec"), F.col("embedding"))
+                / F.greatest(
+                    vx.norm_expr(F.col("qvec")) * vx.norm_expr(F.col("embedding")),
+                    F.lit(1e-12),
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+@register("knn_cosine_bruteforce_pandas")
+def knn_cosine_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN baseline: numpy-matmul partial top-k per partition
+    (mapInPandas) + global top-k. Rows-only check (float matmul order)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.asarray([r["vec_id"] for r in qrows])
+    cand = e.filter(F.col("vec_id") >= 5)
+    return vx.cosine_topk_pandas(cand, qm, qids, k=5)
+
+
+@register("tokenize_documents")
+def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule token pipeline on testdata: hash-tokenize text (JVM),
+    then top-token per doc via a vectorized pandas UDF. Rows-only
+    (xxhash64 tokenizer isn't SQL-expressible)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokenize_text(F.col("text")).alias("tokens"))
+    return toks.select(
+        "doc_id",
+        "source",
+        F.size("tokens").alias("n_tok"),
+        top_token_udf(F.col("tokens")).alias("top_token"),
+    )
+
+
+@register(
+    "token_count_regex",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting (BPE-ish word/number tokens) per source."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)))
+        .cast("long")
+        .alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register("multimodal_binary_meta")
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat a binary payload column as opaque bytes,
+    extract typed metadata batch-wise (mapInPandas). The decode step is a
+    deterministic fake (real image/audio libs absent in this container) —
+    schema/partitioning/batch shape are the real, tested parts."""
+    from parallel_dataflow_spark.operators.multimodal import binary_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return binary_metadata(d)
+
+
+def flagship_entry(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: the token pipeline — tokenize documents (JVM hash
+    tokenizer) → vectorized top-token UDF → per-(source, lang) token stats.
+    Exercises scan, Arrow UDF, and hash agg in one plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", "lang", tokenize_text(F.col("text")).alias("tokens")
+    ).withColumn("n_tok", F.size("tokens"))
+    return (
+        toks.withColumn("top_token", top_token_udf(F.col("tokens")))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.countDistinct("top_token").alias("n_distinct_top"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local mode is a single JVM; on a real cluster the same configs hold, with
+``spark.sql.shuffle.partitions`` sized to ~2-3x total cores and
+``spark.sql.files.maxPartitionBytes`` tuned so scan partitions fit executor
+memory. AQE is always on: it coalesces small shuffle partitions, switches
+sort-merge joins to broadcast at runtime, and splits skewed partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "parallel_dataflow_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``. Pass e.g.
+    ``local[8]`` / ``local[32]`` for the two-parallelism scaling benchmark
+    (stand-in for N vs 4N executor clusters; see BENCH/BASELINE.md).
+    """
+    cpus = DEFAULT_CPUS
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # match parallelism: local[N] -> N shuffle partitions (not 200)
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if inner == "*" else int(inner)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (needed to switch master between bench runs)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # defensively clear the JVM-side default session so a new master takes
+    try:  # pragma: no cover
+        SparkSession.builder._options = {}
+    except Exception:
+        pass

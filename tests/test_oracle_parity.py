@@ -1,0 +1,54 @@
+"""Differential oracle tests: every SQL-expressible query must match its
+DuckDB twin at sf0.001 (row count + schema + order-insensitive values).
+
+This mirrors the reference's whole test strategy — differential comparison
+against a golden executor (impls/src/bin/test.rs:21-70), with DuckDB
+playing the sequential-golden role.
+"""
+
+import math
+
+import pytest
+
+from parallel_dataflow_spark.plans.registry import ORACLE_SQL, QUERIES
+from tests.conftest import SF_SMALL
+
+
+def norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_SMALL)
+    scols, srows = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+    rel = duck.sql(ORACLE_SQL[name])
+    dcols, drows = canon(rel.columns, rel.fetchall())
+    assert scols == dcols, f"schema mismatch: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}"
+    assert srows == drows
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_SMALL)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
