@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from parallel_dataflow_spark.pkgzip import ensure_on_executors  # noqa: E402
 from parallel_dataflow_spark.plans.registry import (  # noqa: E402
     ORACLE_SQL,
     QUERIES,
@@ -25,12 +26,25 @@ from parallel_dataflow_spark.plans.registry import (  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    ensure_on_executors(spark)
     return flagship_entry(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ship the package zip to python workers (idempotent) so pandas-UDF
+        # kernels unpickle regardless of the harness's cwd / sys.path
+        ensure_on_executors(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

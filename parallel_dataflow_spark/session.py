@@ -54,6 +54,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from parallel_dataflow_spark.pkgzip import ensure_on_executors
+
+    ensure_on_executors(spark)
     return spark
 
 

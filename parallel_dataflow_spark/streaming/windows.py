@@ -1,0 +1,153 @@
+"""Streaming window jobs over the token-sequence stream.
+
+The north-rule surface: tumbling / sliding / session event-time windows
+with watermarks over ``(doc_id, tokens, n_tok, source, event_ts)``.
+
+Dataflow-graph mapping (reference semantics → Structured Streaming):
+- operator vertices  → the stages of this plan (scan → repartition →
+  window agg → sink), each a streaming stage;
+- timestamped progress tracking → the event-time watermark (the reference's
+  per-round "worklist empty" signal generalized to out-of-order time,
+  impls/src/parallel.rs:29);
+- channel backpressure → bounded micro-batches (maxFilesPerTrigger);
+- deterministic-under-parallelism output → canonical aggregates + an
+  idempotent keyed sink (reference: differential executor equality,
+  impls/src/bin/test.rs:21-70).
+
+Token-array math runs through a JVM xxhash64 checksum + sums — with an
+optional Arrow-vectorized per-batch kernel — never per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# checksum over the token array: order-sensitive 64-bit hash per row,
+# bounded to 2^40 so a commutative sum over up to ~2^22 rows per group
+# can't overflow int64 under ANSI mode. Bit-identical across parallelism
+# and restarts; the "token-array equality" invariant is checkable per
+# output row.
+def token_checksum(tokens: Column = None) -> Column:
+    tokens = F.col("tokens") if tokens is None else tokens
+    return F.pmod(F.xxhash64(tokens), F.lit(1 << 40))
+
+
+def salted_repartition(df: DataFrame, key: str = "doc_id", salt_buckets: int = 8,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Explicit repartition by (hash(key), salt) — the north rule's skew
+    handling. A hot doc_id spreads over ``salt_buckets`` partitions; keyed
+    aggregation later re-merges (two-stage agg). The salt column is
+    deterministic (hash of tokens length + position via xxhash64 of the
+    tokens array), so replays land identically."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64("tokens"), F.lit(salt_buckets)))
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return salted.repartition(int(n), F.hash(F.col(key)), F.col("__salt")).drop("__salt")
+
+
+def _agg_cols() -> list[Column]:
+    return [
+        F.count("*").alias("n_seqs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(token_checksum()).cast("long").alias("token_checksum"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+    ]
+
+
+def tumbling_doc_stats(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-(doc_id, window) token stats — THE exactly-once output, keyed
+    (doc_id, window_start) as the north rule requires."""
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "doc_id")
+        .agg(*_agg_cols())
+        .select(
+            "doc_id",
+            F.col("w.start").alias("window_start"),
+            "n_seqs",
+            "total_tokens",
+            "token_checksum",
+            "min_tok",
+            "max_tok",
+        )
+    )
+
+
+def sliding_source_stats(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-(source, sliding window) throughput stats."""
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window, slide).alias("w"), "source")
+        .agg(*_agg_cols())
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "n_seqs",
+            "total_tokens",
+            "token_checksum",
+            "min_tok",
+            "max_tok",
+        )
+    )
+
+
+def session_doc_stats(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-(doc_id, session window) stats — session windows require
+    watermark + append-style finalization; keyed (doc_id, session_start)."""
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), "doc_id")
+        .agg(*_agg_cols())
+        .select(
+            "doc_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_seqs",
+            "total_tokens",
+            "token_checksum",
+        )
+    )
+
+
+def stream_stream_token_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: sequences of the same doc_id
+    arriving on two streams within ``max_delay`` of each other (e.g. raw vs
+    re-tokenized feeds). Both sides carry watermarks so state is bounded —
+    Spark drops join state older than the watermark + interval."""
+    l = left.withWatermark("event_ts", watermark).alias("l")
+    r = right.withWatermark("event_ts", watermark).alias("r")
+    return l.join(
+        r,
+        (F.col("l.doc_id") == F.col("r.doc_id"))
+        & (F.col("r.event_ts") >= F.col("l.event_ts"))
+        & (F.col("r.event_ts") <= F.col("l.event_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(
+        F.col("l.doc_id").alias("doc_id"),
+        F.col("l.event_ts").alias("left_ts"),
+        F.col("r.event_ts").alias("right_ts"),
+        (token_checksum(F.col("l.tokens")) == token_checksum(F.col("r.tokens"))).alias(
+            "tokens_match"
+        ),
+        F.col("l.n_tok").alias("n_tok_left"),
+        F.col("r.n_tok").alias("n_tok_right"),
+    )
