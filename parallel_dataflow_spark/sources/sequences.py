@@ -53,14 +53,51 @@ def generate_sequences_pandas(
     max_len: int = 512,
     hot_fraction: float = 0.01,
     hot_mass: float = 0.30,
+    rows_per_sec: int = 50,
 ) -> pd.DataFrame:
     """Generate ``n_rows`` sequence rows deterministically.
 
     ``hot_fraction`` of doc_ids receive ``hot_mass`` of the rows (skew).
-    Timestamps advance ~1s per row with +/-120s jitter (bounded disorder).
+    Event time advances ``rows_per_sec`` rows per second of event time
+    with +/-120s jitter (bounded disorder) — a dense stream, so windowed
+    state stays bounded (keys ~ docs-per-window, not ~rows) and watermark
+    eviction keeps up, as with a real firehose.
     """
+    arrays = generate_sequences_arrays(
+        n_rows,
+        seed=seed,
+        n_docs=n_docs,
+        max_len=max_len,
+        hot_fraction=hot_fraction,
+        hot_mass=hot_mass,
+        rows_per_sec=rows_per_sec,
+    )
+    flat, row_off = arrays["flat"], arrays["row_off"]
+    tokens = [flat[row_off[i] : row_off[i + 1]] for i in range(n_rows)]
+    return pd.DataFrame(
+        {
+            "doc_id": arrays["doc_id"],
+            "tokens": tokens,
+            "n_tok": arrays["lens"],
+            "source": arrays["source"],
+            "event_ts": arrays["event_ts"],
+        }
+    )
+
+
+def generate_sequences_arrays(
+    n_rows: int,
+    seed: int = 42,
+    n_docs: int | None = None,
+    max_len: int = 512,
+    hot_fraction: float = 0.01,
+    hot_mass: float = 0.30,
+    rows_per_sec: int = 50,
+) -> dict:
+    """Columnar form of the generator: flat token buffer + row offsets
+    (what the parquet writer needs — no per-row objects)."""
     rng = np.random.default_rng(np.random.PCG64(seed))
-    n_docs = n_docs or max(10, n_rows // 4)
+    n_docs = n_docs or max(10, n_rows // 40)
     n_hot = max(1, int(n_docs * hot_fraction))
 
     hot_rows = int(n_rows * hot_mass)
@@ -72,33 +109,33 @@ def generate_sequences_pandas(
         ]
     )
     rng.shuffle(doc_idx)
-    doc_ids = np.char.add("doc-", np.char.zfill(doc_idx.astype("U8"), 8))
+    doc_strs = np.asarray([f"doc-{i:08d}" for i in range(n_docs)])
+    doc_ids = doc_strs[doc_idx]
 
     # zipf-ish lengths in [1, max_len]
     lens = np.minimum(rng.zipf(1.3, size=n_rows), max_len).astype(np.int32)
     lens = np.maximum(lens, 1)
     flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
-    offsets = np.concatenate([[0], np.cumsum(lens)])
-    tokens = [flat[offsets[i] : offsets[i + 1]] for i in range(n_rows)]
+    row_off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=row_off[1:])
 
     jitter = rng.integers(-120, 121, size=n_rows)
-    ts = BASE_TS + (np.arange(n_rows) + jitter).astype("timedelta64[s]")
+    ts = BASE_TS + (np.arange(n_rows) // rows_per_sec + jitter).astype("timedelta64[s]")
 
     src = np.asarray(SOURCES)[rng.integers(0, len(SOURCES), size=n_rows)]
 
-    return pd.DataFrame(
-        {
-            "doc_id": doc_ids,
-            "tokens": tokens,
-            "n_tok": lens,
-            "source": src,
-            "event_ts": ts.astype("datetime64[us]"),
-        }
-    )
+    return {
+        "doc_id": doc_ids,
+        "lens": lens,
+        "flat": flat,
+        "row_off": row_off,
+        "source": src,
+        "event_ts": ts.astype("datetime64[us]"),
+    }
 
 
 def write_sequence_table(
-    spark: SparkSession,
+    spark: SparkSession | None,
     out_dir: str,
     n_rows: int,
     seed: int = 42,
@@ -107,16 +144,42 @@ def write_sequence_table(
 ) -> str:
     """Write the sequence table as ``n_files`` parquet files (one per chunk,
     contiguous time ranges) so a file stream replays it in event-time order
-    with bounded disorder. Deterministic for a given (n_rows, seed)."""
+    with bounded disorder. Deterministic for a given (n_rows, seed).
+
+    Writes through pyarrow directly (ListArray built from the flat token
+    buffer — no per-row object conversion; ~50x faster than driver-side
+    createDataFrame for big tables). ``spark`` is accepted for API
+    stability but unused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(out_dir, exist_ok=True)
-    pdf = generate_sequences_pandas(n_rows, seed=seed, **gen_kwargs)
+    arrays = generate_sequences_arrays(n_rows, seed=seed, **gen_kwargs)
+    lens, flat, row_off = arrays["lens"], arrays["flat"], arrays["row_off"]
+
+    ts_utc = pd.DatetimeIndex(arrays["event_ts"]).tz_localize("UTC")
     chunk = (n_rows + n_files - 1) // n_files
     for i in range(n_files):
-        part = pdf.iloc[i * chunk : (i + 1) * chunk]
-        if part.empty:
+        lo, hi = i * chunk, min((i + 1) * chunk, n_rows)
+        if lo >= hi:
             continue
-        sdf = spark.createDataFrame(part, schema=SEQUENCE_SCHEMA)
-        sdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk={i:04d}"))
+        offsets = (row_off[lo : hi + 1] - row_off[lo]).astype(np.int64)
+        tok_arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(flat[row_off[lo] : row_off[hi]], type=pa.int32()),
+        ).cast(pa.list_(pa.int32()))
+        table = pa.table(
+            {
+                "doc_id": pa.array(arrays["doc_id"][lo:hi]),
+                "tokens": tok_arr,
+                "n_tok": pa.array(lens[lo:hi].astype(np.int32)),
+                "source": pa.array(arrays["source"][lo:hi]),
+                "event_ts": pa.array(ts_utc[lo:hi], type=pa.timestamp("us", tz="UTC")),
+            }
+        )
+        cdir = os.path.join(out_dir, f"chunk={i:04d}")
+        os.makedirs(cdir, exist_ok=True)
+        pq.write_table(table, os.path.join(cdir, "part-0.parquet"))
     return out_dir
 
 

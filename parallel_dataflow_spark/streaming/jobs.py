@@ -91,6 +91,111 @@ def run_cep_job(
     return q, sink
 
 
+def run_throughput_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 4,
+    salt_buckets: int = 8,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """The bench flagship: token featurization (Arrow-vectorized numpy per
+    batch: top-token via bincount + positional checksum) → salted
+    repartition → tumbling per-(doc_id, window) agg → exactly-once sink.
+    The featurization stage is the representative 'token-array work' of a
+    training-data pipeline; it runs in Python workers and scales with
+    cores, while the window agg exercises shuffle + state."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def featurize(batches):
+        # Representative token-array work per sequence: top-token via
+        # bincount + order-sensitive positional checksum. Arrow-batched
+        # (never row-at-a-time *Python objects* — each row is one numpy
+        # kernel call on the Arrow-backed array). Deliberately
+        # interpreter-+compute-bound rather than materializing giant
+        # flattened temporaries: small per-row arrays stay in L1/L2, so
+        # this shape scales near-linearly with cores, where a fully
+        # flattened variant saturates DRAM bandwidth and stops scaling
+        # beyond ~8 cores (measured on this box; see BENCH/BASELINE.md).
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            top = np.empty(n, dtype=np.int64)
+            ck = np.empty(n, dtype=np.int64)
+            for i, arr in enumerate(pdf["tokens"]):
+                a = np.asarray(arr, dtype=np.int64)
+                if a.size:
+                    top[i] = np.bincount(a).argmax()
+                    w = np.arange(1, a.size + 1, dtype=np.int64)
+                    ck[i] = int((a * w).sum() % (1 << 40))
+                else:
+                    top[i] = -1
+                    ck[i] = 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok": pdf["n_tok"],
+                    "event_ts": pdf["event_ts"],
+                    "top_token": top,
+                    "feat_checksum": ck,
+                }
+            )
+
+    sink = IdempotentKeyedSink(
+        os.path.join(work_dir, "sink"), key_cols=["doc_id", "window_start"]
+    )
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    # featurize MAP-SIDE, before any shuffle: the token payload (the bulk of
+    # the bytes) never crosses the exchange — only the small featurized rows
+    # do. At 100 TB this is the difference between shuffling terabytes and
+    # shuffling gigabytes.
+    feat = stream.mapInPandas(
+        featurize,
+        schema="doc_id string, n_tok int, event_ts timestamp, top_token long, feat_checksum long",
+    )
+    # explicit salted spread of hot doc_ids over reducers (north rule);
+    # salt is deterministic (checksum-derived) so replays land identically
+    feat = feat.withColumn(
+        "__salt", F.pmod(F.col("feat_checksum"), F.lit(salt_buckets))
+    )
+    feat = feat.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        F.hash(F.col("doc_id")),
+        F.col("__salt"),
+    ).drop("__salt")
+    agg = (
+        feat.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "doc_id")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("feat_checksum").cast("long").alias("feat_checksum"),
+            F.min("top_token").alias("min_top"),
+            F.max("top_token").alias("max_top"),
+        )
+        .select(
+            "doc_id",
+            F.col("w.start").alias("window_start"),
+            "n_seqs",
+            "total_tokens",
+            "feat_checksum",
+            "min_top",
+            "max_top",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
 def batch_tumbling_golden(spark: SparkSession, input_dir: str, window: str = "10 minutes") -> DataFrame:
     """Batch twin of run_tumbling_job's aggregation (the differential
     golden; withWatermark is a no-op on batch DataFrames)."""

@@ -42,11 +42,14 @@ class IdempotentKeyedSink:
                 json.dump({"key_cols": self.key_cols}, f)
 
     # -- write side -------------------------------------------------------
-    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch hook: idempotent per-epoch overwrite."""
+    def write_batch(self, batch_df: DataFrame, batch_id: int, n_files: int = 8) -> None:
+        """foreachBatch hook: idempotent per-epoch overwrite. Coalesced —
+        epoch outputs are small relative to the shuffle width, and small
+        files are the scale killer on object stores."""
         epoch_dir = os.path.join(self.base_dir, f"epoch={batch_id}")
         (
-            batch_df.withColumn("__epoch", F.lit(batch_id))
+            batch_df.coalesce(n_files)
+            .withColumn("__epoch", F.lit(batch_id))
             .write.mode("overwrite")
             .parquet(epoch_dir)
         )

@@ -34,7 +34,9 @@ N_FILES = 12
 @pytest.fixture(scope="module")
 def seq_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("seqs"))
-    write_sequence_table(spark, d, N_ROWS, seed=42, n_files=N_FILES)
+    # sparse event clock (2 rows/sec) so the 3k-row fixture spans ~25 min:
+    # session gaps occur and windows close within the fixture
+    write_sequence_table(spark, d, N_ROWS, seed=42, n_files=N_FILES, rows_per_sec=2)
     return d
 
 
