@@ -1,0 +1,568 @@
+"""Iterative worklist dataflow-analysis engine (the reference's core).
+
+Re-expresses gabizon103/parallel-dataflow's four executors and four
+analyses (SURVEY.md §2.1 #6-#21) Spark-first:
+
+- ``Spec`` protocol = the reference's ``DataflowSpec`` trait
+  (utils/src/dataflow_spec.rs:5-31): init / meet / transfer / finish /
+  reversed, over canonical JSON-string lattice values (canonicalization
+  makes value equality well-defined — the reference gets this from
+  canonical Debug formatting, impls/src/bin/test.rs:29-35).
+- ``sequential_kernel`` = the FIFO worklist of impls/src/sequential.rs:13-66;
+  pure Python, runs per function. It is both the runtime-golden for
+  differential tests and the in-task kernel of the across-functions
+  executor.
+- ``run_across_functions`` = rayon-over-functions
+  (utils/src/dataflow_executor.rs:60-63) as
+  ``groupBy(func_id).applyInPandas(sequential_kernel)`` — embarrassingly
+  parallel per key.
+- ``run_bsp`` = the batched parallel worklist of impls/src/parallel.rs:14-91:
+  each round joins the frontier's predecessors' state (meet), applies
+  transfer, and seeds the next frontier with successors of changed blocks
+  (change-propagation pruning, impls/src/parallel.rs:48-56; frontier
+  dedup, :27,69). Rounds are DataFrame stages with localCheckpoint to cut
+  lineage.
+- ``run_mixed`` = MixedExecutor's size-threshold dispatch
+  (impls/src/mixed.rs:32-38): small functions go through the in-task
+  kernel, large ones through BSP.
+
+Backward analyses run forward on the reversed edge relation
+(``DataflowSpec::reversed``, utils/src/dataflow_spec.rs:8-11;
+edge reversal = a column swap).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RESULT_SCHEMA = "func_id string, block_id int, in_val string, out_val string"
+
+
+# ---------------------------------------------------------------------------
+# Value helpers: canonical JSON strings
+# ---------------------------------------------------------------------------
+
+def canon_set(items) -> str:
+    return json.dumps(sorted(set(items)), separators=(",", ":"))
+
+
+def canon_map(d: dict) -> str:
+    return json.dumps(dict(sorted(d.items())), separators=(",", ":"))
+
+
+# ---------------------------------------------------------------------------
+# Spec protocol + the four reference analyses
+# ---------------------------------------------------------------------------
+
+class Spec:
+    """init/meet/transfer/finish over canonical JSON values — the
+    DataflowSpec trait (utils/src/dataflow_spec.rs:5-31). Semantics traced
+    from impls/src/sequential.rs:21-48:
+
+    - in/out of every block initialize to ``init_val``;
+    - in[entry] is pinned to ``entry_val`` (preds of the entry ignored);
+    - in[other] = meet(out[preds]) — meet over [] is the spec's top
+      (= init for all four passes);
+    - ``transfer`` receives the block's instruction list in ORIGINAL
+      order; backward specs iterate it in reverse themselves
+      (passes/src/live_vars.rs:27).
+    """
+
+    name: str = "spec"
+    reversed: bool = False
+
+    def init_val(self, fargs: tuple = ()) -> str:
+        raise NotImplementedError
+
+    def entry_val(self, fargs: tuple = ()) -> str:
+        # default: entry == init (dataflow_spec.rs:14-16)
+        return self.init_val(fargs)
+
+    def meet(self, vals: list[str]) -> str:
+        raise NotImplementedError
+
+    def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
+        raise NotImplementedError
+
+    def finish(self, val: str) -> str:
+        return val
+
+
+class ReachingDefs(Spec):
+    """Forward; powerset lattice, meet = union; gen/kill per block
+    (passes/src/reaching_defs.rs)."""
+
+    name = "reaching_defs"
+    reversed = False
+
+    def init_val(self, fargs: tuple = ()) -> str:
+        # function args are definitions at block 0 (reaching_defs.rs:23-31)
+        return json.dumps(sorted([a, 0] for a in fargs), separators=(",", ":"))
+
+    def meet(self, vals: list[str]) -> str:
+        out = set()
+        for v in vals:
+            out.update(tuple(x) for x in json.loads(v))
+        return json.dumps(sorted(list(x) for x in out), separators=(",", ":"))
+
+    def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
+        defs = {i["dest"] for i in instrs if i.get("dest")}
+        live = [tuple(x) for x in json.loads(in_val) if x[0] not in defs]
+        live += [(d, block_id) for d in sorted(defs)]
+        return json.dumps(sorted([list(x) for x in set(live)]), separators=(",", ":"))
+
+
+class LiveVars(Spec):
+    """Backward; powerset, meet = union; use/def in reverse instruction
+    order (passes/src/live_vars.rs:24-42)."""
+
+    name = "live_vars"
+    reversed = True
+
+    def init_val(self, fargs: tuple = ()) -> str:
+        return canon_set([])
+
+    def meet(self, vals: list[str]) -> str:
+        out = set()
+        for v in vals:
+            out.update(json.loads(v))
+        return canon_set(out)
+
+    def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
+        live = set(json.loads(in_val))
+        for ins in reversed(instrs):
+            if ins.get("dest"):
+                live.discard(ins["dest"])
+            for a in ins.get("args") or []:
+                live.add(a)
+        return canon_set(live)
+
+
+class ConstProp(Spec):
+    """Forward; flat lattice per var (Const | Any), pointwise meet
+    (passes/src/const_prop.rs). Values: {"x": "5"} or {"x": "⊤"}."""
+
+    name = "const_prop"
+    reversed = False
+    TOP = "⊤"
+
+    _FOLD = {
+        "add": lambda a, b: a + b,
+        "sub": lambda a, b: a - b,
+        "mul": lambda a, b: a * b,
+        "div": lambda a, b: a // b if b else None,
+        "eq": lambda a, b: int(a == b),
+        "lt": lambda a, b: int(a < b),
+        "gt": lambda a, b: int(a > b),
+        "le": lambda a, b: int(a <= b),
+        "ge": lambda a, b: int(a >= b),
+        "and": lambda a, b: int(bool(a) and bool(b)),
+        "or": lambda a, b: int(bool(a) or bool(b)),
+    }
+
+    def init_val(self, fargs: tuple = ()) -> str:
+        return canon_map({})
+
+    def meet(self, vals: list[str]) -> str:
+        merged: dict = {}
+        for v in vals:
+            for var, c in json.loads(v).items():
+                if var in merged and merged[var] != c:
+                    merged[var] = self.TOP
+                else:
+                    merged.setdefault(var, c)
+        return canon_map(merged)
+
+    def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
+        env = json.loads(in_val)
+
+        def lookup(name):
+            v = env.get(name)
+            return None if v in (None, self.TOP) else int(v)
+
+        for ins in instrs:
+            dest = ins.get("dest")
+            if not dest:
+                continue
+            op = ins["op"]
+            if op == "const":
+                env[dest] = str(ins.get("value", 0))
+            elif op == "id":
+                args = ins.get("args") or []
+                src = lookup(args[0]) if args else None
+                env[dest] = str(src) if src is not None else self.TOP
+            elif op == "not":
+                args = ins.get("args") or []
+                a = lookup(args[0]) if args else None
+                env[dest] = str(int(not a)) if a is not None else self.TOP
+            elif op in self._FOLD:
+                args = ins.get("args") or []
+                a = lookup(args[0]) if len(args) > 0 else None
+                b = lookup(args[1]) if len(args) > 1 else None
+                if a is not None and b is not None:
+                    r = self._FOLD[op](a, b)
+                    env[dest] = str(r) if r is not None else self.TOP
+                else:
+                    env[dest] = self.TOP
+            else:
+                env[dest] = self.TOP
+        return canon_map(env)
+
+
+class AvailableExprs(Spec):
+    """Forward; powerset with ⊤ = Full, meet = intersection
+    (passes/src/available_expr.rs). ⊤ encoded as the JSON string "FULL"
+    (the reference's Set::Full sentinel, :13-18)."""
+
+    name = "available_exprs"
+    reversed = False
+    FULL = '"FULL"'
+    PURE = {"add", "sub", "mul", "div", "eq", "lt", "gt", "le", "ge", "and", "or", "not", "id", "const"}
+
+    def init_val(self, fargs: tuple = ()) -> str:
+        return self.FULL  # Set::full() (available_expr.rs:108-110)
+
+    def entry_val(self, fargs: tuple = ()) -> str:
+        return canon_set([])  # Set::empty() (available_expr.rs:104-107)
+
+    def meet(self, vals: list[str]) -> str:
+        # fold from Full; Full absorbs (available_expr.rs:69-75,112-117)
+        sets = [set(json.loads(v)) for v in vals if v != self.FULL]
+        if not sets:
+            return self.FULL
+        out = sets[0]
+        for s in sets[1:]:
+            out &= s
+        return canon_set(out)
+
+    def _expr_key(self, ins: dict) -> str | None:
+        op = ins["op"]
+        if op == "const":
+            return f"const:{ins.get('value', 0)}"
+        if op in self.PURE:
+            return f"{op}({','.join(ins.get('args') or [])})"
+        return None
+
+    def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
+        # insert into Full and kill on Full are both no-ops
+        # (available_expr.rs:77-84 Set::insert, :127-132 retain on Finite)
+        if in_val == self.FULL:
+            return self.FULL
+        avail = set(json.loads(in_val))
+        for ins in instrs:
+            key = self._expr_key(ins)
+            if key is not None:  # any pure expr inserts (Expr::new)
+                avail.add(key)
+            dest = ins.get("dest")
+            if dest:
+                # kill exprs whose args contain the redefined variable
+                avail = {
+                    e
+                    for e in avail
+                    if not (
+                        "(" in e and dest in e[e.index("(") + 1 : -1].split(",")
+                    )
+                }
+        return canon_set(avail)
+
+
+SPECS: dict[str, Spec] = {
+    s.name: s for s in (ReachingDefs(), LiveVars(), ConstProp(), AvailableExprs())
+}
+
+
+# ---------------------------------------------------------------------------
+# Sequential kernel (the runtime golden; impls/src/sequential.rs:13-66)
+# ---------------------------------------------------------------------------
+
+def sequential_kernel(
+    spec: Spec,
+    blocks: list[dict],
+    edges: list[tuple[int, int]],
+    fargs: tuple = (),
+) -> list[dict]:
+    """FIFO-worklist fixpoint for ONE function. ``blocks``: dicts with
+    block_id, is_entry, is_exit, instrs. Returns rows
+    (block_id, in_val, out_val)."""
+    from collections import deque
+
+    by_id = {b["block_id"]: b for b in blocks}
+    if spec.reversed:
+        # run backward analyses forward on the reversed CFG
+        # (impls/src/sequential.rs:15-19): entries <-> exits
+        edges = [(d, s) for (s, d) in edges]
+        entry_flag = "is_exit"
+    else:
+        entry_flag = "is_entry"
+    preds: dict[int, list[int]] = {b: [] for b in by_id}
+    succs: dict[int, list[int]] = {b: [] for b in by_id}
+    for s, d in edges:
+        succs[s].append(d)
+        preds[d].append(s)
+
+    init = spec.init_val(fargs)
+    entry = spec.entry_val(fargs)
+    in_vals = {b: init for b in by_id}
+    out_vals = {b: init for b in by_id}
+
+    wl = deque(sorted(by_id))
+    while wl:
+        b = wl.popleft()
+        # in[entry] pinned to entry(); others meet their preds
+        # (impls/src/sequential.rs:29-38)
+        if by_id[b].get(entry_flag):
+            in_vals[b] = entry
+        else:
+            in_vals[b] = spec.meet([out_vals[p] for p in sorted(preds[b])])
+        new_out = spec.transfer(b, by_id[b]["instrs"], in_vals[b])
+        if new_out != out_vals[b]:
+            out_vals[b] = new_out
+            for s in sorted(succs[b]):
+                if s not in wl:
+                    wl.append(s)
+
+    return [
+        {"block_id": b, "in_val": in_vals[b], "out_val": out_vals[b]}
+        for b in sorted(by_id)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Executor 1: across-functions (dataflow_executor.rs:39-77)
+# ---------------------------------------------------------------------------
+
+def _norm_instr(i) -> dict:
+    # pandas renders nullable int64 struct fields as float (1 -> 1.0 / NaN);
+    # normalize back so canonical value strings match the pure-Python golden
+    v = i["value"]
+    return {
+        "op": i["op"],
+        "dest": i["dest"],
+        "args": list(i["args"]) if i["args"] is not None else [],
+        "value": int(v) if v is not None and v == v else None,
+    }
+
+
+def _blocks_pdf_to_rows(pdf: pd.DataFrame) -> list[dict]:
+    blocks = []
+    for _, r in pdf.iterrows():
+        instrs = [
+            _norm_instr(i) for i in (r["instrs"] if r["instrs"] is not None else [])
+        ]
+        blocks.append(
+            {
+                "block_id": int(r["block_id"]),
+                "is_entry": bool(r["is_entry"]),
+                "is_exit": bool(r["is_exit"]),
+                "instrs": instrs,
+            }
+        )
+    return blocks
+
+
+def run_across_functions(
+    blocks: DataFrame, edges: DataFrame, spec: Spec, num_partitions: int | None = None
+) -> DataFrame:
+    """One pandas task per function — per-key parallelism exactly like the
+    reference's rayon-over-functions. The edges of each function ride
+    along via a pre-join (edge lists are tiny relative to blocks)."""
+    edge_lists = edges.groupBy("func_id").agg(
+        F.collect_list(F.struct("src", "dst")).alias("edge_list")
+    )
+    joined = blocks.join(edge_lists, "func_id", "left")
+
+    def per_func(pdf: pd.DataFrame) -> pd.DataFrame:
+        func_id = pdf["func_id"].iloc[0]
+        el = pdf["edge_list"].iloc[0]
+        edge_rows = (
+            [(int(e["src"]), int(e["dst"])) for e in el] if el is not None and len(el) else []
+        )
+        block_rows = _blocks_pdf_to_rows(pdf)
+        res = sequential_kernel(spec, block_rows, edge_rows)
+        return pd.DataFrame(
+            {
+                "func_id": func_id,
+                "block_id": [r["block_id"] for r in res],
+                "in_val": [r["in_val"] for r in res],
+                "out_val": [r["out_val"] for r in res],
+            }
+        )
+
+    grouped = joined.groupBy("func_id")
+    return grouped.applyInPandas(per_func, schema=RESULT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Executor 2: BSP rounds (impls/src/parallel.rs:14-91)
+# ---------------------------------------------------------------------------
+
+def run_bsp(
+    blocks: DataFrame,
+    edges: DataFrame,
+    spec: Spec,
+    max_rounds: int = 200,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Distributed batched worklist. Per round (one BSP superstep):
+
+    frontier ⋈ edges → predecessor set → ⋈ state (out_vals) →
+    groupBy(block) meet+transfer (pandas kernel with the block's instrs)
+    → changed? → frontier' = successors of changed blocks (dedup).
+
+    State and frontier are DataFrames; localCheckpoint truncates lineage.
+    The meet of a block with no predecessors is the init value (entry
+    blocks of the effective direction)."""
+    spark = blocks.sparkSession
+    if spec.reversed:
+        edges = edges.select("func_id", F.col("dst").alias("src"), F.col("src").alias("dst"))
+        entry_flag = "is_exit"
+    else:
+        entry_flag = "is_entry"
+
+    init = spec.init_val()
+    entry = spec.entry_val()
+    binst = blocks.select(
+        "func_id", "block_id", "instrs", F.col(entry_flag).alias("is_eff_entry")
+    ).cache()
+
+    state = blocks.select(
+        "func_id",
+        "block_id",
+        F.lit(init).alias("in_val"),
+        F.lit(init).alias("out_val"),
+    ).localCheckpoint()
+
+    frontier = blocks.select("func_id", "block_id")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for (func_id, block_id), grp in pdf.groupby(["func_id", "block_id"], sort=False):
+            if bool(grp["is_eff_entry"].iloc[0]):
+                in_val = entry  # pinned (sequential.rs:29-30)
+            else:
+                pred_outs = [v for v in grp["pred_out"] if v is not None]
+                in_val = spec.meet(sorted(pred_outs))
+            instrs_raw = grp["instrs"].iloc[0]
+            instrs = [
+                _norm_instr(i) for i in (instrs_raw if instrs_raw is not None else [])
+            ]
+            out_val = spec.transfer(int(block_id), instrs, in_val)
+            out_rows.append((func_id, int(block_id), in_val, out_val))
+        return pd.DataFrame(out_rows, columns=["func_id", "block_id", "in_val", "out_val"])
+
+    for rnd in range(max_rounds):
+        if frontier.isEmpty():
+            break
+        # meet inputs: predecessors' out_vals of every frontier block
+        pred_edges = edges.join(
+            frontier.withColumnRenamed("block_id", "dst"), ["func_id", "dst"]
+        )
+        pred_state = pred_edges.join(
+            state.select(
+                "func_id",
+                F.col("block_id").alias("src"),
+                F.col("out_val").alias("pred_out"),
+            ),
+            ["func_id", "src"],
+            "left",
+        ).select("func_id", F.col("dst").alias("block_id"), "pred_out")
+        # blocks with no predecessors still need a row (meet over ∅ = init)
+        all_frontier = frontier.join(pred_state, ["func_id", "block_id"], "left")
+        work = all_frontier.join(binst, ["func_id", "block_id"])
+
+        new_vals = work.groupBy("func_id", "block_id").applyInPandas(
+            kernel, schema=RESULT_SCHEMA
+        )
+
+        # change detection (requeue only successors of changed blocks —
+        # impls/src/parallel.rs:48-56)
+        old = state.select(
+            "func_id", "block_id", F.col("out_val").alias("old_out")
+        )
+        delta = new_vals.join(old, ["func_id", "block_id"], "left").filter(
+            (F.col("old_out").isNull()) | (F.col("old_out") != F.col("out_val"))
+        )
+        changed = delta.select("func_id", "block_id")
+
+        # merge new values into state
+        state = (
+            state.join(
+                new_vals.select(
+                    "func_id",
+                    "block_id",
+                    F.col("in_val").alias("n_in"),
+                    F.col("out_val").alias("n_out"),
+                ),
+                ["func_id", "block_id"],
+                "left",
+            )
+            .select(
+                "func_id",
+                "block_id",
+                F.coalesce("n_in", "in_val").alias("in_val"),
+                F.coalesce("n_out", "out_val").alias("out_val"),
+            )
+        )
+        frontier = (
+            edges.join(changed.withColumnRenamed("block_id", "src"), ["func_id", "src"])
+            .select("func_id", F.col("dst").alias("block_id"))
+            .dropDuplicates(["func_id", "block_id"])
+        )
+        # EAGER checkpoint every round: state/frontier lineage otherwise
+        # grows per round and every action replays all prior rounds
+        # (quadratic). This is the BSP superstep barrier — same role as the
+        # reference's per-round collect (impls/src/parallel.rs:58).
+        state = state.localCheckpoint()
+        frontier = frontier.localCheckpoint()
+
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Executor 3: mixed size-threshold dispatch (impls/src/mixed.rs:32-38)
+# ---------------------------------------------------------------------------
+
+def run_mixed(
+    blocks: DataFrame, edges: DataFrame, spec: Spec, threshold: int = 20
+) -> DataFrame:
+    """Functions with <= threshold blocks run in-task (sequential kernel);
+    bigger ones run through the distributed BSP executor. Thresholds
+    {10,15,20,25,30} in the reference (impls/src/passes.rs:74-78)."""
+    sizes = blocks.groupBy("func_id").agg(F.count("*").alias("n_blocks"))
+    small_ids = sizes.filter(F.col("n_blocks") <= threshold).select("func_id")
+    big_ids = sizes.filter(F.col("n_blocks") > threshold).select("func_id")
+
+    small = run_across_functions(
+        blocks.join(small_ids, "func_id", "left_semi"),
+        edges.join(small_ids, "func_id", "left_semi"),
+        spec,
+    )
+    big_blocks = blocks.join(big_ids, "func_id", "left_semi")
+    if big_blocks.isEmpty():
+        return small
+    big = run_bsp(big_blocks, edges.join(big_ids, "func_id", "left_semi"), spec)
+    return small.unionByName(big)
+
+
+# ---------------------------------------------------------------------------
+# Exit values (impls/src/sequential.rs:51-58)
+# ---------------------------------------------------------------------------
+
+def exit_values(result: DataFrame, blocks: DataFrame, spec: Spec) -> DataFrame:
+    """exit_val = finish(meet(out_val of exit blocks)) per function. For
+    backward passes the 'exits' of the effective direction are the entry
+    blocks (cfg.reverse() swaps them)."""
+    flag = "is_entry" if spec.reversed else "is_exit"
+    exits = blocks.filter(F.col(flag)).select("func_id", "block_id")
+    outs = result.join(exits, ["func_id", "block_id"])
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        val = spec.finish(spec.meet(sorted(pdf["out_val"].tolist())))
+        return pd.DataFrame({"func_id": [pdf["func_id"].iloc[0]], "exit_val": [val]})
+
+    return outs.groupBy("func_id").applyInPandas(agg, schema="func_id string, exit_val string")

@@ -746,6 +746,85 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(d)
 
 
+# ---------------------------------------------------------------------------
+# Fixpoint dataflow analyses (the reference's core; rows-only checks — the
+# iterative worklist semantics are not ANSI-SQL-expressible. Differential
+# correctness vs the pure-Python golden is enforced in tests/test_fixpoint.py.)
+# ---------------------------------------------------------------------------
+
+def _fixture_dfs(spark: SparkSession):
+    from parallel_dataflow_spark.sources.cfg_fixtures import fixture_dataframes
+
+    return fixture_dataframes(
+        spark, seed=42, n_random=2, random_size=(10, 25), multi_func_skew=False
+    )
+
+
+def _dataflow_query(pass_name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from parallel_dataflow_spark.operators.fixpoint import SPECS, run_across_functions
+
+        blocks, edges = _fixture_dfs(spark)
+        return run_across_functions(blocks, edges, SPECS[pass_name])
+
+    q.__name__ = f"dataflow_{pass_name}"
+    q.__doc__ = (
+        f"{pass_name} fixpoint over deterministic CFG fixtures via the "
+        "across-functions executor (groupBy(func_id).applyInPandas worklist "
+        "kernel; reference: utils/src/dataflow_executor.rs:60-63)."
+    )
+    return q
+
+
+for _p in ("reaching_defs", "live_vars", "const_prop", "available_exprs"):
+    register(f"dataflow_{_p}")(_dataflow_query(_p))
+
+
+@register("dataflow_bsp_reaching_defs")
+def dataflow_bsp_reaching_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BSP worklist executor (join-meet-transfer rounds with
+    change-propagation pruning; reference: impls/src/parallel.rs:14-91).
+    Runs on the handwritten CFGs — each BSP round is a full Spark
+    superstep, so the fixture is kept small-diameter."""
+    from parallel_dataflow_spark.operators.fixpoint import SPECS, run_bsp
+    from parallel_dataflow_spark.sources.cfg_fixtures import fixture_dataframes
+
+    blocks, edges = fixture_dataframes(spark, seed=42, n_random=0, multi_func_skew=False)
+    return run_bsp(blocks, edges, SPECS["reaching_defs"])
+
+
+@register("cep_token_pattern")
+def cep_token_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFA pattern matching (batch twin of the streaming CEP operator) over
+    a deterministic generated token stream: token 101 → 102 → 103 within a
+    5-minute gap per doc_id."""
+    import pandas as pd
+
+    from parallel_dataflow_spark.sources.sequences import (
+        SEQUENCE_SCHEMA,
+        generate_sequences_pandas,
+    )
+    from parallel_dataflow_spark.streaming.cep import Pattern, match_pattern_batch
+
+    pdf = generate_sequences_pandas(4000, seed=11, n_docs=40, rows_per_sec=1, max_len=64)
+    # plain-int lists: the non-Arrow createDataFrame path (driver-harness
+    # sessions may lack the Arrow conf) rejects numpy int32 scalars
+    toks = [[int(x) for x in a] for a in pdf["tokens"]]
+    # plant the pattern deterministically in the first three (time-ordered)
+    # rows of every 4th doc (FIXTURES.md B3: planted + negative controls)
+    order = pdf.sort_values("event_ts").groupby("doc_id").head(3)
+    for doc, grp in order.groupby("doc_id"):
+        if int(doc.rsplit("-", 1)[1]) % 4 != 0 or len(grp) < 3:
+            continue
+        for step, idx in zip((101, 102, 103), grp.index):
+            toks[pdf.index.get_loc(idx)] = toks[pdf.index.get_loc(idx)] + [step]
+    pdf["tokens"] = toks
+    pdf["n_tok"] = [len(t) for t in toks]
+    df = spark.createDataFrame(pdf, schema=SEQUENCE_SCHEMA)
+    pattern = Pattern.of([[101], [102], [103]], gap_seconds=300)
+    return match_pattern_batch(df, pattern)
+
+
 def flagship_entry(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the token pipeline — tokenize documents (JVM hash
     tokenizer) → vectorized top-token UDF → per-(source, lang) token stats.
