@@ -1,0 +1,109 @@
+"""spark-submit entry point (SURVEY.md §2.1 #25; reference CLI:
+impls/src/bin/main.rs:5-43 — args: pass, executor/algorithm, log, raw).
+
+Usage:
+    spark-submit --py-files engine.zip -m parallel_dataflow_spark.cli \\
+        dataflow  --pass reaching_defs --executor bsp|seq|mixed-20
+    python -m parallel_dataflow_spark.cli query --name q1_pricing_summary \\
+        --sf-dir /root/testdata/sf0.01
+    python -m parallel_dataflow_spark.cli stream --job tumbling \\
+        --input <dir> --work <dir>
+
+The ``mixed-(\\d+)`` executor syntax mirrors the reference's regex form
+(impls/src/passes.rs:37-40).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+import time
+
+
+def _executor(spec_str: str):
+    from parallel_dataflow_spark.operators import fixpoint as fx
+
+    m = re.fullmatch(r"mixed-(\d+)", spec_str)
+    if m:
+        thr = int(m.group(1))
+        return lambda b, e, s: fx.run_mixed(b, e, s, threshold=thr)
+    return {
+        "seq": fx.run_across_functions,  # in-task sequential kernels
+        "across_functions": fx.run_across_functions,
+        "bsp": fx.run_bsp,
+        "parallel": fx.run_bsp,
+    }[spec_str]
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="parallel_dataflow_spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dataflow", help="run a fixpoint analysis over CFG fixtures")
+    d.add_argument("--pass", dest="pass_name", required=True,
+                   choices=["reaching_defs", "live_vars", "const_prop", "available_exprs"])
+    d.add_argument("--executor", default="seq")
+    d.add_argument("--raw", action="store_true", help="print ns timings only (main.rs -r)")
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    s = sub.add_parser("stream", help="run a streaming job to completion")
+    s.add_argument("--job", choices=["tumbling", "session", "throughput"], default="tumbling")
+    s.add_argument("--input", required=True)
+    s.add_argument("--work", required=True)
+
+    args = p.parse_args(argv)
+
+    from parallel_dataflow_spark.session import get_spark
+
+    spark = get_spark("pds_cli", master=args.master)
+
+    if args.cmd == "dataflow":
+        from parallel_dataflow_spark.operators.fixpoint import SPECS
+        from parallel_dataflow_spark.sources.cfg_fixtures import fixture_dataframes
+
+        t_load0 = time.time_ns()
+        blocks, edges = fixture_dataframes(spark, seed=42)
+        blocks.cache().count()
+        load_ns = time.time_ns() - t_load0
+
+        t_run0 = time.time_ns()
+        res = _executor(args.executor)(blocks, edges, SPECS[args.pass_name])
+        rows = res.orderBy("func_id", "block_id").collect()
+        run_ns = time.time_ns() - t_run0
+        if args.raw:
+            # two-line ns output, loadtime then runtime (perf.rs:149-160)
+            print(load_ns)
+            print(run_ns)
+        else:
+            for r in rows:
+                print(json.dumps(list(r)))
+    elif args.cmd == "query":
+        from parallel_dataflow_spark.plans.registry import QUERIES
+
+        df = QUERIES[args.name](spark, args.sf_dir)
+        for r in df.limit(args.limit).collect():
+            print(json.dumps([str(x) for x in r]))
+    else:
+        from parallel_dataflow_spark.streaming import jobs as J
+
+        runner = {
+            "tumbling": J.run_tumbling_job,
+            "session": J.run_session_job,
+            "throughput": J.run_throughput_job,
+        }[args.job]
+        query, sink = runner(spark, args.input, args.work)
+        query.processAllAvailable()
+        query.stop()
+        print(json.dumps({"sink": sink.base_dir, "rows": sink.read(spark).count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -746,8 +746,96 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(d)
 
 
-# ---------------------------------------------------------------------------
-# Fixpoint dataflow analyses (the reference's core; rows-only checks — the
+def _sql_stop_hits(stops: tuple[str, ...]) -> str:
+    """DuckDB twin of functions.text._stop_hits (kept in lockstep by
+    construction — generated from the same word lists)."""
+    norm = "' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' '"
+    terms = [
+        f"(length({norm}) - length(replace({norm}, ' {w} ', ''))) / {len(w) + 2}"
+        for w in stops
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+_LANG_ORACLE = f"""
+    WITH v AS (
+      SELECT doc_id,
+             {_sql_stop_hits(tx.EN_STOPS)} AS en,
+             {_sql_stop_hits(tx.DE_STOPS)} AS de,
+             {_sql_stop_hits(tx.FR_STOPS)} AS fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr THEN 'en'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM v
+"""
+
+
+@register("lang_id_vote", _LANG_ORACLE)
+def lang_id_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-vote argmax over {en,de,fr}
+    (ties break en > de > fr). Pure JVM expressions."""
+    from parallel_dataflow_spark.functions.text import lang_vote_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_vote_expr(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12),
+                 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12),
+                4) >= 0.25
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (label-blocked exact search, threshold 0.25;
+    JVM higher-order-function arithmetic, sequential fold matching the
+    oracle's evaluation order)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = vx.dot_expr(F.col("a.embedding"), F.col("b.embedding")) / F.greatest(
+        vx.norm_expr(F.col("a.embedding")) * vx.norm_expr(F.col("b.embedding")),
+        F.lit(1e-12),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+@register("knn_cosine_ivf")
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH bucketing (the scale path:
+    candidates come from matching sign-hash buckets only, then exact
+    rerank). At 10^9 vectors the bucket join replaces the full cross join.
+    Rows-only check (approximate by construction)."""
+    from parallel_dataflow_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(e.filter(F.col("vec_id") >= 5), q, k=5)
 # iterative worklist semantics are not ANSI-SQL-expressible. Differential
 # correctness vs the pure-Python golden is enforced in tests/test_fixpoint.py.)
 # ---------------------------------------------------------------------------
