@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "2000000"))
+STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "8000000"))
 STREAM_DOCS = max(1000, STREAM_ROWS // 4000)
 STREAM_FILES = 128
 # N and 4N parallelism levels for the scaling-efficiency evidence. This VM
@@ -43,7 +43,7 @@ STREAM_FILES = 128
 LEVEL_N = int(os.environ.get("SPARK_GRAFT_LEVEL_N", "4"))
 LEVEL_4N = LEVEL_N * 4
 TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
-COOLDOWN_SEC = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "45"))
+COOLDOWN_SEC = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "30"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -93,6 +93,39 @@ def stream_data_dir() -> str:
     return d
 
 
+def _proc_tree_cpu_sec() -> float:
+    """Total CPU seconds (utime+stime) of this process and every live
+    descendant (JVM + python workers), via /proc. Host throttling shows up
+    in WALL time, not CPU time, so cpu/wall = effective parallelism is a
+    throttle-robust scaling signal."""
+    import os
+
+    clk = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    stats: dict[int, float] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            ppid = int(parts[1])
+            cpu = (int(parts[11]) + int(parts[12])) / clk
+        except (OSError, IndexError, ValueError):
+            continue
+        pid = int(pid_s)
+        stats[pid] = cpu
+        children.setdefault(ppid, []).append(pid)
+    total = 0.0
+    stack = [me]
+    while stack:
+        p = stack.pop()
+        total += stats.get(p, 0.0)
+        stack.extend(children.get(p, []))
+    return total
+
+
 def stream_one(parallelism: int, data_dir: str) -> dict:
     """Runs in a fresh subprocess (see __main__ dispatch)."""
     from parallel_dataflow_spark.session import get_spark
@@ -119,11 +152,13 @@ def stream_one(parallelism: int, data_dir: str) -> dict:
     shutil.rmtree(warm_work, ignore_errors=True)
 
     work = tempfile.mkdtemp(prefix=f"pds_bench_job_{parallelism}_")
+    cpu0 = _proc_tree_cpu_sec()
     t0 = time.time()
-    q, sink = run_throughput_job(spark, data_dir, work, max_files_per_trigger=64)
+    q, sink = run_throughput_job(spark, data_dir, work, max_files_per_trigger=128)
     q.processAllAvailable()
     q.stop()
     elapsed = time.time() - t0
+    cpu_used = _proc_tree_cpu_sec() - cpu0
     out = sink.read(spark)
     agg = out.groupBy().sum("total_tokens", "n_seqs").collect()[0]
     total_tokens, n_seqs = int(agg[0]), int(agg[1])
@@ -145,6 +180,10 @@ def stream_one(parallelism: int, data_dir: str) -> dict:
         "rows_per_sec": round(n_seqs / elapsed, 1),
         "batch_tokens_per_sec": batch_tps,
         "best_batch_tokens_per_sec": max(batch_tps) if batch_tps else 0.0,
+        "cpu_sec": round(cpu_used, 1),
+        # cpu/wall: cores actually used concurrently — robust to the host's
+        # capacity fluctuating between runs (see BENCH/BASELINE.md)
+        "effective_parallelism": round(cpu_used / elapsed, 2),
     }
 
 
@@ -182,6 +221,11 @@ def main() -> None:
         / 4.0,
         3,
     )
+    # throttle-robust: ratio of cores actually used concurrently
+    eff_parallelism = round(
+        best(LEVEL_4N, "effective_parallelism") / best(LEVEL_N, "effective_parallelism") / 4.0,
+        3,
+    )
 
     result = {
         "metric": "headline_queries_total",
@@ -204,6 +248,7 @@ def main() -> None:
             },
             "scaling_efficiency_wall": eff_wall,
             "scaling_efficiency_steady_state_batch": eff_batch,
+            "scaling_efficiency_effective_parallelism": eff_parallelism,
         },
     }
     print(json.dumps(result))

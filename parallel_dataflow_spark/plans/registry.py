@@ -293,6 +293,73 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_qty_by_status",
+    """
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_O,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values become columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "first_ship_after_order",
+    """
+    SELECT o_orderkey,
+           CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS first_ship_epoch,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY o_orderkey
+    """,
+)
+def first_ship_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of-style range join: earliest shipment at-or-after each order
+    date (range predicate + equi-key; the asof pattern from the engine's
+    join surface)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate >= o.o_orderdate))
+        .groupBy("o_orderkey")
+        .agg(
+            _epoch(F.min("l_shipdate")).alias("first_ship_epoch"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
     "setop_nations_cust_and_supp",
     """
     SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
