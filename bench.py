@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "8000000"))
+STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "4000000"))
 STREAM_DOCS = max(1000, STREAM_ROWS // 4000)
 STREAM_FILES = 128
 # N and 4N parallelism levels for the scaling-efficiency evidence. This VM
