@@ -948,6 +948,36 @@ def dataflow_bsp_reaching_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bsp(blocks, edges, SPECS["reaching_defs"])
 
 
+@register(
+    "word_sequence_match",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS t
+      FROM documents
+    ), p AS (
+      SELECT doc_id, t, position(' table ' IN t) AS p1 FROM n
+    )
+    SELECT doc_id,
+           CASE WHEN p1 > 0
+                AND position(' value ' IN substr(t, p1 + 6)) > 0
+                THEN 1 ELSE 0 END AS has_match
+    FROM p
+    """,
+)
+def word_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document sequence pattern (the CEP step predicate shape, but
+    SQL-expressible so it gets an oracle): word 'table' followed later by
+    word 'value'. locate/substr — pure JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(F.lit(" "), F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), F.lit(" "))
+    p1 = F.locate(" table ", t)
+    has = F.when(
+        (p1 > 0) & (F.locate(" value ", F.substring(t, p1 + 6, 1 << 24)) > 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    return d.select("doc_id", has.alias("has_match"))
+
+
 @register("cep_token_pattern")
 def cep_token_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFA pattern matching (batch twin of the streaming CEP operator) over
