@@ -56,6 +56,29 @@ def canon_map(d: dict) -> str:
 
 
 # ---------------------------------------------------------------------------
+# i64 arithmetic (the reference folds Rust i64s: release-mode wrapping
+# add/sub/mul, division truncates toward zero — passes/src/const_prop.rs:51-64)
+# ---------------------------------------------------------------------------
+
+_U64 = 1 << 64
+_I64_MAX = (1 << 63) - 1
+
+
+def wrap_i64(n: int) -> int:
+    n &= _U64 - 1
+    return n - _U64 if n > _I64_MAX else n
+
+
+def trunc_div_i64(a: int, b: int) -> int | None:
+    """Rust i64 `/`: truncates toward zero (Python `//` floors — e.g.
+    56 / -65 is 0 in Rust but -1 under floor division). None on b == 0."""
+    if b == 0:
+        return None
+    q = abs(a) // abs(b)
+    return wrap_i64(q if (a < 0) == (b < 0) else -q)
+
+
+# ---------------------------------------------------------------------------
 # Spec protocol + the four reference analyses
 # ---------------------------------------------------------------------------
 
@@ -145,25 +168,26 @@ class LiveVars(Spec):
 
 class ConstProp(Spec):
     """Forward; flat lattice per var (Const | Any), pointwise meet
-    (passes/src/const_prop.rs). Values: {"x": "5"} or {"x": "⊤"}."""
+    (passes/src/const_prop.rs). Values: {"x": "5"}, {"x": "true"} or
+    {"x": "⊤"} (⊤ = the reference's Value::Any, displayed "T").
+
+    Transfer mirrors const_prop.rs:47-68 exactly: each instruction is
+    folded (``insn.fold``) with argument lookups against the block's **IN**
+    environment — NOT a running intra-block env — and the result written
+    into a separate out env. So ``const a = 4; id b a`` with an empty IN
+    leaves b = ⊤ (a is not const in IN), matching the Rust. Int literals
+    are i64 (wrapping arithmetic = release-mode Rust; division truncates
+    toward zero); bool literals fold through and/or/not; comparisons
+    produce bools. Division by zero (which would panic in Rust) is mapped
+    to ⊤ defensively — the corpus never constant-folds a zero divisor.
+    """
 
     name = "const_prop"
     reversed = False
     TOP = "⊤"
 
-    _FOLD = {
-        "add": lambda a, b: a + b,
-        "sub": lambda a, b: a - b,
-        "mul": lambda a, b: a * b,
-        "div": lambda a, b: a // b if b else None,
-        "eq": lambda a, b: int(a == b),
-        "lt": lambda a, b: int(a < b),
-        "gt": lambda a, b: int(a > b),
-        "le": lambda a, b: int(a <= b),
-        "ge": lambda a, b: int(a >= b),
-        "and": lambda a, b: int(bool(a) and bool(b)),
-        "or": lambda a, b: int(bool(a) or bool(b)),
-    }
+    _INT_OPS = {"add", "sub", "mul", "div", "eq", "lt", "gt", "le", "ge"}
+    _BOOL_OPS = {"and", "or", "not"}
 
     def init_val(self, fargs: tuple = ()) -> str:
         return canon_map({})
@@ -178,40 +202,73 @@ class ConstProp(Spec):
                     merged.setdefault(var, c)
         return canon_map(merged)
 
+    @staticmethod
+    def _parse(s: str):
+        if s == "true":
+            return True
+        if s == "false":
+            return False
+        return int(s)
+
+    @staticmethod
+    def _render(v) -> str:
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        return str(v)
+
+    def _fold(self, ins: dict, in_env: dict) -> str:
+        """insn.fold(|arg| in_val.get(arg)) — returns the folded constant's
+        canonical string, or TOP (= fold returned None → Value::Any)."""
+        op = ins["op"]
+        if op == "const":
+            if ins.get("type") == "bool":
+                return "true" if ins.get("value") else "false"
+            return str(wrap_i64(int(ins.get("value") or 0)))
+        vals = []
+        for a in ins.get("args") or []:
+            s = in_env.get(a)
+            if s is None or s == self.TOP:
+                return self.TOP
+            vals.append(self._parse(s))
+        if op == "id" and len(vals) == 1:
+            return self._render(vals[0])
+        if op in self._INT_OPS and len(vals) == 2:
+            a, b = vals
+            if not (isinstance(a, int) and isinstance(b, int)) or isinstance(
+                a, bool
+            ) or isinstance(b, bool):
+                return self.TOP  # ill-typed (never in a type-checked program)
+            if op == "add":
+                return str(wrap_i64(a + b))
+            if op == "sub":
+                return str(wrap_i64(a - b))
+            if op == "mul":
+                return str(wrap_i64(a * b))
+            if op == "div":
+                q = trunc_div_i64(a, b)
+                return self.TOP if q is None else str(q)
+            cmp = {"eq": a == b, "lt": a < b, "gt": a > b, "le": a <= b, "ge": a >= b}
+            return self._render(cmp[op])
+        if op in self._BOOL_OPS:
+            if not all(isinstance(v, bool) for v in vals):
+                return self.TOP
+            if op == "not" and len(vals) == 1:
+                return self._render(not vals[0])
+            if len(vals) == 2:
+                return self._render(vals[0] and vals[1] if op == "and" else vals[0] or vals[1])
+        return self.TOP  # call / unknown op with a dest → Any
+
     def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
-        env = json.loads(in_val)
-
-        def lookup(name):
-            v = env.get(name)
-            return None if v in (None, self.TOP) else int(v)
-
+        in_env = json.loads(in_val)
+        out = dict(in_env)
         for ins in instrs:
             dest = ins.get("dest")
             if not dest:
                 continue
-            op = ins["op"]
-            if op == "const":
-                env[dest] = str(ins.get("value", 0))
-            elif op == "id":
-                args = ins.get("args") or []
-                src = lookup(args[0]) if args else None
-                env[dest] = str(src) if src is not None else self.TOP
-            elif op == "not":
-                args = ins.get("args") or []
-                a = lookup(args[0]) if args else None
-                env[dest] = str(int(not a)) if a is not None else self.TOP
-            elif op in self._FOLD:
-                args = ins.get("args") or []
-                a = lookup(args[0]) if len(args) > 0 else None
-                b = lookup(args[1]) if len(args) > 1 else None
-                if a is not None and b is not None:
-                    r = self._FOLD[op](a, b)
-                    env[dest] = str(r) if r is not None else self.TOP
-                else:
-                    env[dest] = self.TOP
-            else:
-                env[dest] = self.TOP
-        return canon_map(env)
+            out[dest] = self._fold(ins, in_env)
+        return canon_map(out)
 
 
 class AvailableExprs(Spec):
@@ -222,7 +279,10 @@ class AvailableExprs(Spec):
     name = "available_exprs"
     reversed = False
     FULL = '"FULL"'
-    PURE = {"add", "sub", "mul", "div", "eq", "lt", "gt", "le", "ge", "and", "or", "not", "id", "const"}
+    # bril_rs is_pure: core value ops + id; call is impure. Constants are
+    # pure and enter the set keyed by their LITERAL (Expr::Const(value),
+    # available_expr.rs:30-40) — not by dest.
+    PURE = {"add", "sub", "mul", "div", "eq", "lt", "gt", "le", "ge", "and", "or", "not", "id"}
 
     def init_val(self, fargs: tuple = ()) -> str:
         return self.FULL  # Set::full() (available_expr.rs:108-110)
@@ -241,11 +301,15 @@ class AvailableExprs(Spec):
         return canon_set(out)
 
     def _expr_key(self, ins: dict) -> str | None:
+        """Expr::new + Display (available_expr.rs:30-51): Op displays as
+        "op arg1 arg2", Const displays as the literal itself."""
         op = ins["op"]
         if op == "const":
-            return f"const:{ins.get('value', 0)}"
+            if ins.get("type") == "bool":
+                return "true" if ins.get("value") else "false"
+            return str(ins.get("value") or 0)
         if op in self.PURE:
-            return f"{op}({','.join(ins.get('args') or [])})"
+            return " ".join([op] + list(ins.get("args") or []))
         return None
 
     def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
@@ -260,14 +324,10 @@ class AvailableExprs(Spec):
                 avail.add(key)
             dest = ins.get("dest")
             if dest:
-                # kill exprs whose args contain the redefined variable
-                avail = {
-                    e
-                    for e in avail
-                    if not (
-                        "(" in e and dest in e[e.index("(") + 1 : -1].split(",")
-                    )
-                }
+                # kill exprs whose args contain the redefined variable;
+                # Const exprs (no spaces → no args) are never killed
+                # (Expr::contains, available_expr.rs:20-26)
+                avail = {e for e in avail if dest not in e.split(" ")[1:]}
         return canon_set(avail)
 
 
@@ -345,7 +405,21 @@ def _norm_instr(i) -> dict:
         "dest": i["dest"],
         "args": list(i["args"]) if i["args"] is not None else [],
         "value": int(v) if v is not None and v == v else None,
+        "type": i["type"] if "type" in i else None,
     }
+
+
+def _with_fargs(blocks: DataFrame) -> DataFrame:
+    """Ensure a per-function ``fargs array<string>`` column exists (function
+    arguments — ReachingDefs seeds them as definitions at block 0,
+    passes/src/reaching_defs.rs:23-31)."""
+    if "fargs" in blocks.columns:
+        return blocks
+    return blocks.withColumn("fargs", F.array().cast("array<string>"))
+
+
+def _fargs_of(cell) -> tuple:
+    return tuple(cell) if cell is not None else ()
 
 
 def _blocks_pdf_to_rows(pdf: pd.DataFrame) -> list[dict]:
@@ -374,7 +448,7 @@ def run_across_functions(
     edge_lists = edges.groupBy("func_id").agg(
         F.collect_list(F.struct("src", "dst")).alias("edge_list")
     )
-    joined = blocks.join(edge_lists, "func_id", "left")
+    joined = _with_fargs(blocks).join(edge_lists, "func_id", "left")
 
     def per_func(pdf: pd.DataFrame) -> pd.DataFrame:
         func_id = pdf["func_id"].iloc[0]
@@ -383,7 +457,7 @@ def run_across_functions(
             [(int(e["src"]), int(e["dst"])) for e in el] if el is not None and len(el) else []
         )
         block_rows = _blocks_pdf_to_rows(pdf)
-        res = sequential_kernel(spec, block_rows, edge_rows)
+        res = sequential_kernel(spec, block_rows, edge_rows, _fargs_of(pdf["fargs"].iloc[0]))
         return pd.DataFrame(
             {
                 "func_id": func_id,
@@ -418,23 +492,32 @@ def run_bsp(
     The meet of a block with no predecessors is the init value (entry
     blocks of the effective direction)."""
     spark = blocks.sparkSession
+    blocks = _with_fargs(blocks)
     if spec.reversed:
         edges = edges.select("func_id", F.col("dst").alias("src"), F.col("src").alias("dst"))
         entry_flag = "is_exit"
     else:
         entry_flag = "is_entry"
 
-    init = spec.init_val()
-    entry = spec.entry_val()
+    @F.pandas_udf("string")
+    def init_udf(fargs: pd.Series) -> pd.Series:
+        return fargs.map(lambda a: spec.init_val(_fargs_of(a)))
+
     binst = blocks.select(
-        "func_id", "block_id", "instrs", F.col(entry_flag).alias("is_eff_entry")
+        "func_id",
+        "block_id",
+        "instrs",
+        "fargs",
+        F.col(entry_flag).alias("is_eff_entry"),
     ).cache()
 
+    # in/out of every block start at init(fargs) (sequential.rs:23-24);
+    # init is per-function (ReachingDefs seeds the function's args)
     state = blocks.select(
         "func_id",
         "block_id",
-        F.lit(init).alias("in_val"),
-        F.lit(init).alias("out_val"),
+        init_udf("fargs").alias("in_val"),
+        init_udf("fargs").alias("out_val"),
     ).localCheckpoint()
 
     frontier = blocks.select("func_id", "block_id")
@@ -443,7 +526,8 @@ def run_bsp(
         out_rows = []
         for (func_id, block_id), grp in pdf.groupby(["func_id", "block_id"], sort=False):
             if bool(grp["is_eff_entry"].iloc[0]):
-                in_val = entry  # pinned (sequential.rs:29-30)
+                # pinned (sequential.rs:29-30)
+                in_val = spec.entry_val(_fargs_of(grp["fargs"].iloc[0]))
             else:
                 pred_outs = [v for v in grp["pred_out"] if v is not None]
                 in_val = spec.meet(sorted(pred_outs))
@@ -455,8 +539,10 @@ def run_bsp(
             out_rows.append((func_id, int(block_id), in_val, out_val))
         return pd.DataFrame(out_rows, columns=["func_id", "block_id", "in_val", "out_val"])
 
+    converged = False
     for rnd in range(max_rounds):
         if frontier.isEmpty():
+            converged = True
             break
         # meet inputs: predecessors' out_vals of every frontier block
         pred_edges = edges.join(
@@ -520,6 +606,12 @@ def run_bsp(
         state = state.localCheckpoint()
         frontier = frontier.localCheckpoint()
 
+    binst.unpersist()
+    if not converged and not frontier.isEmpty():
+        raise RuntimeError(
+            f"BSP fixpoint did not converge within {max_rounds} rounds "
+            f"(pass={spec.name}) — raise max_rounds"
+        )
     return state
 
 
@@ -565,4 +657,36 @@ def exit_values(result: DataFrame, blocks: DataFrame, spec: Spec) -> DataFrame:
         val = spec.finish(spec.meet(sorted(pdf["out_val"].tolist())))
         return pd.DataFrame({"func_id": [pdf["func_id"].iloc[0]], "exit_val": [val]})
 
-    return outs.groupBy("func_id").applyInPandas(agg, schema="func_id string, exit_val string")
+    ev = outs.groupBy("func_id").applyInPandas(
+        agg, schema="func_id string, exit_val string"
+    )
+    # a function with no exit blocks (e.g. an infinite loop) still gets an
+    # exit_val = finish(meet(∅)) — the reference meets an empty vec there
+    empty = spec.finish(spec.meet([]))
+    funcs = blocks.select("func_id").distinct()
+    return funcs.join(ev, "func_id", "left").select(
+        "func_id", F.coalesce("exit_val", F.lit(empty)).alias("exit_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python golden over a pandas program (the differential expectation —
+# the role of the sequential output in impls/src/bin/test.rs:29-31)
+# ---------------------------------------------------------------------------
+
+def golden_rows(bl: pd.DataFrame, ed: pd.DataFrame, spec: Spec) -> list[tuple]:
+    """Run the sequential kernel per function over pandas blocks/edges
+    frames; returns sorted (func_id, block_id, in_val, out_val) tuples."""
+    rows = []
+    for fid, fb in bl.groupby("func_id"):
+        fargs = ()
+        if "fargs" in fb.columns:
+            fargs = _fargs_of(fb["fargs"].iloc[0])
+        blocks = fb.drop(columns=[c for c in ("func_id", "fargs") if c in fb.columns]).to_dict(
+            "records"
+        )
+        fe = ed[ed.func_id == fid]
+        edges = [(int(r.src), int(r.dst)) for r in fe.itertuples()]
+        for r in sequential_kernel(spec, blocks, edges, fargs):
+            rows.append((fid, r["block_id"], r["in_val"], r["out_val"]))
+    return sorted(rows)

@@ -6,7 +6,9 @@ ceiling experiment, blog/blog.md:84).
 
 Schema:
   blocks: func_id, block_id, is_entry, is_exit,
-          instrs array<struct<op,dest,args,value>>
+          instrs array<struct<op,dest,args,value,type>>,
+          fargs array<string>   (function arguments — ReachingDefs seeds
+                                 them as definitions at block 0)
   edges:  func_id, src, dst
 """
 
@@ -35,11 +37,13 @@ BLOCKS_SCHEMA = T.StructType(
                         T.StructField("dest", T.StringType()),
                         T.StructField("args", T.ArrayType(T.StringType())),
                         T.StructField("value", T.LongType()),
+                        T.StructField("type", T.StringType()),
                     ]
                 )
             ),
             False,
         ),
+        T.StructField("fargs", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -52,15 +56,15 @@ EDGES_SCHEMA = T.StructType(
 )
 
 
-def _instr(op, dest=None, args=None, value=None):
-    return {"op": op, "dest": dest, "args": args or [], "value": value}
+def _instr(op, dest=None, args=None, value=None, type=None):
+    return {"op": op, "dest": dest, "args": args or [], "value": value, "type": type}
 
 
 def handwritten_cfgs() -> tuple[list[dict], list[dict]]:
     """diamond, single loop, self-loop, unreachable block, straight line."""
     blocks, edges = [], []
 
-    def add_func(fid, blks, eds):
+    def add_func(fid, blks, eds, fargs=()):
         for bid, (entry, exit_, instrs) in enumerate(blks):
             blocks.append(
                 {
@@ -69,6 +73,7 @@ def handwritten_cfgs() -> tuple[list[dict], list[dict]]:
                     "is_entry": entry,
                     "is_exit": exit_,
                     "instrs": instrs,
+                    "fargs": list(fargs),
                 }
             )
         for s, d in eds:
@@ -126,6 +131,29 @@ def handwritten_cfgs() -> tuple[list[dict], list[dict]]:
         ],
         [(0, 1), (1, 2)],
     )
+    # function with arguments: RD must seed p/q as defs @ block 0
+    # (passes/src/reaching_defs.rs:23-31); q is redefined in block 1 so its
+    # arg-def is killed on that path, p's survives to the exit. Also
+    # exercises negative truncating division (56 div -65 = 0 in Rust i64)
+    # and intra-block fold-against-IN (id b a sees IN, not const a 4).
+    add_func(
+        "withargs",
+        [
+            (True, False, [_instr("const", "a", value=4), _instr("id", "b", ["a"])]),
+            (
+                False,
+                False,
+                [
+                    _instr("const", "n", value=56),
+                    _instr("const", "m", value=-65),
+                    _instr("div", "q", ["n", "m"]),
+                ],
+            ),
+            (False, True, [_instr("add", "r", ["p", "q"]), _instr("print", None, ["r"])]),
+        ],
+        [(0, 1), (0, 2), (1, 2)],
+        fargs=("p", "q"),
+    )
     return blocks, edges
 
 
@@ -166,6 +194,7 @@ def random_cfg(fid: str, n_blocks: int, seed: int) -> tuple[list[dict], list[dic
                 "is_entry": bid == 0,
                 "is_exit": bid == n_blocks - 1,
                 "instrs": instrs,
+                "fargs": [],
             }
         )
     edge_set = set()

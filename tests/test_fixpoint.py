@@ -10,6 +10,7 @@ import pytest
 from parallel_dataflow_spark.operators.fixpoint import (
     SPECS,
     exit_values,
+    golden_rows,
     run_across_functions,
     run_bsp,
     run_mixed,
@@ -38,19 +39,7 @@ def fixture_dfs(spark):
 def golden():
     """Pure-Python golden for every function × pass."""
     bl, ed = fixture_program(seed=42, **FIXTURE_KW)
-    out = {}
-    for name, spec in SPECS.items():
-        rows = []
-        for fid, fb in bl.groupby("func_id"):
-            blocks = fb.drop(columns="func_id").to_dict("records")
-            edges = [
-                (int(r.src), int(r.dst))
-                for r in ed[ed.func_id == fid].itertuples()
-            ]
-            for r in sequential_kernel(spec, blocks, edges):
-                rows.append((fid, r["block_id"], r["in_val"], r["out_val"]))
-        out[name] = sorted(rows)
-    return out
+    return {name: golden_rows(bl, ed, spec) for name, spec in SPECS.items()}
 
 
 @pytest.mark.parametrize("pass_name", PASSES)
@@ -76,16 +65,7 @@ def test_bsp_matches_golden(spark, pass_name):
     got = sorted(tuple(r) for r in run_bsp(blocks, edges, SPECS[pass_name]).collect())
 
     bl, ed = fixture_program(seed=42, n_random=0, multi_func_skew=False)
-    spec = SPECS[pass_name]
-    want = []
-    for fid, fb in bl.groupby("func_id"):
-        rows = sequential_kernel(
-            spec,
-            fb.drop(columns="func_id").to_dict("records"),
-            [(int(r.src), int(r.dst)) for r in ed[ed.func_id == fid].itertuples()],
-        )
-        want += [(fid, r["block_id"], r["in_val"], r["out_val"]) for r in rows]
-    assert got == sorted(want)
+    assert got == golden_rows(bl, ed, SPECS[pass_name])
 
 
 def test_mixed_matches_golden(spark, fixture_dfs, golden):
@@ -121,6 +101,103 @@ def test_const_prop_diamond_semantics():
     assert join_in["a"] == "⊤" or join_in["a"] == "⊤"
     assert join_in["b"] == "2"
     assert join_in["c"] == "⊤" or join_in["c"] == "⊤"  # 3 vs 25
+
+
+def test_const_prop_folds_against_in_env():
+    """const_prop.rs:47-68: arg lookups go against the block's IN value,
+    not a running intra-block env — `const a = 4; id b a` with an empty IN
+    leaves b = ⊤ (a is not constant in IN), while a itself becomes 4."""
+    import json
+
+    spec = SPECS["const_prop"]
+    instrs = [
+        {"op": "const", "dest": "a", "args": [], "value": 4, "type": "int"},
+        {"op": "id", "dest": "b", "args": ["a"], "value": None, "type": "int"},
+    ]
+    out = json.loads(spec.transfer(0, instrs, "{}"))
+    assert out["a"] == "4"
+    assert out["b"] == "⊤"
+    # ...but with a already const in IN, id b a folds to it
+    out2 = json.loads(spec.transfer(0, instrs[1:], '{"a":"9"}'))
+    assert out2["b"] == "9"
+
+
+def test_const_prop_div_truncates_toward_zero():
+    """Rust i64 division truncates toward zero (56/-65 = 0, -7/2 = -3);
+    Python floor division would give -1 and -4. Reference fold:
+    passes/src/const_prop.rs:51-64."""
+    import json
+
+    spec = SPECS["const_prop"]
+
+    def run(a, b):
+        instrs = [
+            {"op": "const", "dest": "x", "args": [], "value": a, "type": "int"},
+            {"op": "const", "dest": "y", "args": [], "value": b, "type": "int"},
+            {"op": "div", "dest": "z", "args": ["x", "y"], "value": None, "type": "int"},
+        ]
+        # two blocks so the div sees x/y as IN constants
+        mid = spec.transfer(0, instrs[:2], "{}")
+        return json.loads(spec.transfer(1, instrs[2:], mid))["z"]
+
+    assert run(56, -65) == "0"
+    assert run(-7, 2) == "-3"
+    assert run(7, -2) == "-3"
+    assert run(-7, -2) == "3"
+    assert run(5, 0) == "⊤"  # div-by-zero → Any (defensive)
+
+
+def test_const_prop_bool_literals():
+    """Bool and int literals are distinct HashableLiterals: true ≠ 1, and
+    comparisons fold to bools that and/or/not consume."""
+    import json
+
+    spec = SPECS["const_prop"]
+    instrs = [
+        {"op": "const", "dest": "t", "args": [], "value": 1, "type": "bool"},
+        {"op": "const", "dest": "x", "args": [], "value": 3, "type": "int"},
+        {"op": "const", "dest": "y", "args": [], "value": 5, "type": "int"},
+    ]
+    env1 = spec.transfer(0, instrs, "{}")
+    assert json.loads(env1)["t"] == "true"
+    step2 = [
+        {"op": "lt", "dest": "c", "args": ["x", "y"], "value": None, "type": "bool"},
+        {"op": "and", "dest": "d", "args": ["t", "t"], "value": None, "type": "bool"},
+        {"op": "not", "dest": "e", "args": ["t"], "value": None, "type": "bool"},
+    ]
+    out = json.loads(spec.transfer(1, step2, env1))
+    assert out["c"] == "true" and out["d"] == "true" and out["e"] == "false"
+    # meet of true vs "1" (differently-typed) would be Any, not Const
+    assert json.loads(spec.meet(['{"v":"true"}', '{"v":"1"}']))["v"] == "⊤"
+
+
+def test_reaching_defs_function_args(spark):
+    """Function args are definitions at block 0 (reaching_defs.rs:23-31):
+    p reaches the exit of `withargs`; q's arg-def is killed on the path
+    through block 1 but survives the direct 0→2 edge, so q @ 0 AND q @ 1
+    both reach block 2's entry."""
+    import json
+
+    bl, ed = fixture_program(seed=42, n_random=0, multi_func_skew=False)
+    rows = golden_rows(bl, ed, SPECS["reaching_defs"])
+    by_block = {
+        (r[0], r[1]): json.loads(r[2]) for r in rows if r[0] == "withargs"
+    }
+    entry_in = {tuple(x) for x in by_block[("withargs", 0)]}
+    assert entry_in == {("p", 0), ("q", 0)}
+    exit_in = {tuple(x) for x in by_block[("withargs", 2)]}
+    assert ("p", 0) in exit_in
+    assert ("q", 0) in exit_in and ("q", 1) in exit_in
+
+    # the distributed executors agree (fargs threading through Spark)
+    blocks, edges = fixture_dataframes(spark, seed=42, n_random=0, multi_func_skew=False)
+    got = sorted(
+        tuple(r)
+        for r in run_across_functions(blocks, edges, SPECS["reaching_defs"]).collect()
+    )
+    assert got == rows
+    # (run_bsp on this same fixture — withargs included — is covered by
+    # test_bsp_matches_golden[reaching_defs])
 
 
 def test_live_vars_loop_semantics():
