@@ -35,10 +35,17 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Cached canonical-JSON parse. Canonical value strings are re-parsed at
+# every meet/transfer; identical strings recur across visits, so a parse
+# cache cuts the hot-loop cost. Callers must treat results as FROZEN
+# (every spec either reads or copies before mutating).
+_loads = lru_cache(maxsize=1 << 16)(json.loads)
 
 RESULT_SCHEMA = "func_id string, block_id int, in_val string, out_val string"
 
@@ -52,7 +59,7 @@ def canon_set(items) -> str:
 
 
 def canon_map(d: dict) -> str:
-    return json.dumps(dict(sorted(d.items())), separators=(",", ":"))
+    return json.dumps(d, sort_keys=True, separators=(",", ":"))
 
 
 # ---------------------------------------------------------------------------
@@ -128,14 +135,16 @@ class ReachingDefs(Spec):
         return json.dumps(sorted([a, 0] for a in fargs), separators=(",", ":"))
 
     def meet(self, vals: list[str]) -> str:
+        if vals and all(v == vals[0] for v in vals):
+            return vals[0]  # inputs are canonical; identical ⇒ union is too
         out = set()
         for v in vals:
-            out.update(tuple(x) for x in json.loads(v))
+            out.update(tuple(x) for x in _loads(v))
         return json.dumps(sorted(list(x) for x in out), separators=(",", ":"))
 
     def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
         defs = {i["dest"] for i in instrs if i.get("dest")}
-        live = [tuple(x) for x in json.loads(in_val) if x[0] not in defs]
+        live = [tuple(x) for x in _loads(in_val) if x[0] not in defs]
         live += [(d, block_id) for d in sorted(defs)]
         return json.dumps(sorted([list(x) for x in set(live)]), separators=(",", ":"))
 
@@ -151,13 +160,15 @@ class LiveVars(Spec):
         return canon_set([])
 
     def meet(self, vals: list[str]) -> str:
+        if vals and all(v == vals[0] for v in vals):
+            return vals[0]
         out = set()
         for v in vals:
-            out.update(json.loads(v))
+            out.update(_loads(v))
         return canon_set(out)
 
     def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
-        live = set(json.loads(in_val))
+        live = set(_loads(in_val))
         for ins in reversed(instrs):
             if ins.get("dest"):
                 live.discard(ins["dest"])
@@ -193,9 +204,11 @@ class ConstProp(Spec):
         return canon_map({})
 
     def meet(self, vals: list[str]) -> str:
+        if vals and all(v == vals[0] for v in vals):
+            return vals[0]
         merged: dict = {}
         for v in vals:
-            for var, c in json.loads(v).items():
+            for var, c in _loads(v).items():
                 if var in merged and merged[var] != c:
                     merged[var] = self.TOP
                 else:
@@ -223,9 +236,12 @@ class ConstProp(Spec):
         canonical string, or TOP (= fold returned None → Value::Any)."""
         op = ins["op"]
         if op == "const":
+            v = ins.get("value")
+            if v in ("true", "false"):
+                return v
             if ins.get("type") == "bool":
-                return "true" if ins.get("value") else "false"
-            return str(wrap_i64(int(ins.get("value") or 0)))
+                return "true" if int(v or 0) else "false"
+            return str(wrap_i64(int(v or 0)))
         vals = []
         for a in ins.get("args") or []:
             s = in_env.get(a)
@@ -261,7 +277,7 @@ class ConstProp(Spec):
         return self.TOP  # call / unknown op with a dest → Any
 
     def transfer(self, block_id: int, instrs: list[dict], in_val: str) -> str:
-        in_env = json.loads(in_val)
+        in_env = _loads(in_val)
         out = dict(in_env)
         for ins in instrs:
             dest = ins.get("dest")
@@ -292,7 +308,9 @@ class AvailableExprs(Spec):
 
     def meet(self, vals: list[str]) -> str:
         # fold from Full; Full absorbs (available_expr.rs:69-75,112-117)
-        sets = [set(json.loads(v)) for v in vals if v != self.FULL]
+        if vals and all(v == vals[0] for v in vals):
+            return vals[0]
+        sets = [set(_loads(v)) for v in vals if v != self.FULL]
         if not sets:
             return self.FULL
         out = sets[0]
@@ -305,9 +323,12 @@ class AvailableExprs(Spec):
         "op arg1 arg2", Const displays as the literal itself."""
         op = ins["op"]
         if op == "const":
-            if ins.get("type") == "bool":
-                return "true" if ins.get("value") else "false"
-            return str(ins.get("value") or 0)
+            v = ins.get("value")
+            if v is None:
+                return "0"
+            if ins.get("type") == "bool" and v not in ("true", "false"):
+                return "true" if int(v) else "false"
+            return str(v)
         if op in self.PURE:
             return " ".join([op] + list(ins.get("args") or []))
         return None
@@ -317,7 +338,7 @@ class AvailableExprs(Spec):
         # (available_expr.rs:77-84 Set::insert, :127-132 retain on Finite)
         if in_val == self.FULL:
             return self.FULL
-        avail = set(json.loads(in_val))
+        avail = set(_loads(in_val))
         for ins in instrs:
             key = self._expr_key(ins)
             if key is not None:  # any pure expr inserts (Expr::new)
@@ -345,10 +366,19 @@ def sequential_kernel(
     blocks: list[dict],
     edges: list[tuple[int, int]],
     fargs: tuple = (),
+    max_visits: int = 5_000_000,
 ) -> list[dict]:
     """FIFO-worklist fixpoint for ONE function. ``blocks``: dicts with
     block_id, is_entry, is_exit, instrs. Returns rows
-    (block_id, in_val, out_val)."""
+    (block_id, in_val, out_val).
+
+    ``max_visits`` guards against non-termination: ConstProp's transfer is
+    non-monotone (an absent arg folds to Any; when the arg later becomes
+    a constant the dest flips Any→const), and on two fuzzed reference
+    programs (rand/rand16, rand/rand48) the reference's own worklist
+    algorithm oscillates forever between two lattice states — see
+    sources/bril.py:NON_TERMINATING_CONST_PROP. The reference acknowledges
+    the open termination question at blog/blog.md:94."""
     from collections import deque
 
     by_id = {b["block_id"]: b for b in blocks}
@@ -370,8 +400,29 @@ def sequential_kernel(
     in_vals = {b: init for b in by_id}
     out_vals = {b: init for b in by_id}
 
+    # EXACT LinkedList schedule of sequential.rs:26-48: seed 0..n, pop
+    # front, push_back all successors of a changed block WITHOUT dedup.
+    # The schedule matters: ConstProp's fold maps an absent (never-seen)
+    # arg to Any, which makes its transfer non-monotone in the seeded
+    # lattice — in CFG regions unreachable from the entry (plentiful in
+    # the fuzzed corpus) different fair schedules reach DIFFERENT
+    # fixpoints (verified empirically: an RPO-priority worklist diverges
+    # from FIFO on rand/rand{20,25,27,35,40} for const_prop). The only
+    # sound speedups are schedule-preserving: skip the transfer when a
+    # block's freshly-met IN equals the IN of its previous transfer
+    # (deterministic transfer ⇒ identical OUT ⇒ no requeue either way),
+    # plus the cached parses / early-out meets above.
     wl = deque(sorted(by_id))
+    prev_in: dict[int, str] = {}
+    visits = 0
     while wl:
+        visits += 1
+        if visits > max_visits:
+            raise RuntimeError(
+                f"worklist fixpoint exceeded {max_visits} visits "
+                f"(pass={spec.name}) — non-terminating oscillation "
+                "(non-monotone transfer, see sequential_kernel docstring)"
+            )
         b = wl.popleft()
         # in[entry] pinned to entry(); others meet their preds
         # (impls/src/sequential.rs:29-38)
@@ -379,12 +430,13 @@ def sequential_kernel(
             in_vals[b] = entry
         else:
             in_vals[b] = spec.meet([out_vals[p] for p in sorted(preds[b])])
+        if prev_in.get(b) == in_vals[b]:
+            continue  # same IN as last transfer → OUT already current
+        prev_in[b] = in_vals[b]
         new_out = spec.transfer(b, by_id[b]["instrs"], in_vals[b])
         if new_out != out_vals[b]:
             out_vals[b] = new_out
-            for s in sorted(succs[b]):
-                if s not in wl:
-                    wl.append(s)
+            wl.extend(sorted(succs[b]))
 
     return [
         {"block_id": b, "in_val": in_vals[b], "out_val": out_vals[b]}
@@ -397,14 +449,14 @@ def sequential_kernel(
 # ---------------------------------------------------------------------------
 
 def _norm_instr(i) -> dict:
-    # pandas renders nullable int64 struct fields as float (1 -> 1.0 / NaN);
-    # normalize back so canonical value strings match the pure-Python golden
-    v = i["value"]
+    # `value` is a literal STRING in the schema (pandas coerces nullable
+    # int64 struct fields to float64, corrupting i64 constants > 2^53 —
+    # the fuzzed corpus has such constants); args may arrive as ndarray
     return {
         "op": i["op"],
         "dest": i["dest"],
         "args": list(i["args"]) if i["args"] is not None else [],
-        "value": int(v) if v is not None and v == v else None,
+        "value": i["value"],
         "type": i["type"] if "type" in i else None,
     }
 

@@ -36,7 +36,11 @@ BLOCKS_SCHEMA = T.StructType(
                         T.StructField("op", T.StringType()),
                         T.StructField("dest", T.StringType()),
                         T.StructField("args", T.ArrayType(T.StringType())),
-                        T.StructField("value", T.LongType()),
+                        # literal text ("5", "-82", "true") — a string, NOT
+                        # a long: pandas coerces nullable int64 struct
+                        # fields to float64, which corrupts i64 constants
+                        # beyond 2^53 (the fuzzed corpus has them)
+                        T.StructField("value", T.StringType()),
                         T.StructField("type", T.StringType()),
                     ]
                 )
@@ -57,7 +61,13 @@ EDGES_SCHEMA = T.StructType(
 
 
 def _instr(op, dest=None, args=None, value=None, type=None):
-    return {"op": op, "dest": dest, "args": args or [], "value": value, "type": type}
+    return {
+        "op": op,
+        "dest": dest,
+        "args": args or [],
+        "value": None if value is None else str(value),
+        "type": type,
+    }
 
 
 def handwritten_cfgs() -> tuple[list[dict], list[dict]]:

@@ -1,0 +1,133 @@
+"""Differential parity over the reference's REAL corpus: all 119 .bril
+programs under /root/reference/{core,rand,rand_small,rand_multi_func}
+(read-only), exactly the sweep of impls/src/bin/test.rs:89-101 — every
+pass on every program, distributed executors vs the sequential golden.
+
+const_prop skips the functions in NON_TERMINATING_CONST_PROP (the
+reference's non-monotone transfer oscillates there — see bril.py).
+"""
+
+import pandas as pd
+import pytest
+
+from parallel_dataflow_spark.operators.fixpoint import (
+    SPECS,
+    golden_rows,
+    run_across_functions,
+    run_bsp,
+    run_mixed,
+)
+from parallel_dataflow_spark.sources.bril import (
+    NON_TERMINATING_CONST_PROP,
+    corpus_frames,
+    parse_bril_text,
+)
+from parallel_dataflow_spark.sources.cfg_fixtures import BLOCKS_SCHEMA, EDGES_SCHEMA
+
+PASSES = sorted(SPECS)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    bl, ed = corpus_frames()
+    return bl, ed
+
+
+def _filter_cp(bl: pd.DataFrame, ed: pd.DataFrame, pass_name: str):
+    if pass_name != "const_prop":
+        return bl, ed
+    return (
+        bl[~bl.func_id.isin(NON_TERMINATING_CONST_PROP)],
+        ed[~ed.func_id.isin(NON_TERMINATING_CONST_PROP)],
+    )
+
+
+def test_parse_full_corpus(corpus):
+    bl, ed = corpus
+    progs = bl.func_id.str.split("::").str[0]
+    assert progs.nunique() == 119  # core 53 + rand 51 + rand_small 10 + multi 5
+    assert bl.func_id.nunique() == 217
+    ops = {i["op"] for instrs in bl.instrs for i in instrs}
+    assert ops <= {
+        "add", "and", "br", "call", "const", "div", "eq", "ge", "gt", "id",
+        "jmp", "le", "lt", "mul", "nop", "not", "or", "print", "ret", "sub",
+    }
+    # every function has exactly one entry; edges reference real blocks
+    per_func = bl.groupby("func_id").is_entry.sum()
+    assert (per_func == 1).all()
+    keys = set(zip(bl.func_id, bl.block_id))
+    assert all((f, s) in keys and (f, d) in keys for f, s, d in zip(ed.func_id, ed.src, ed.dst))
+
+
+def test_parse_gcd_shape():
+    text = open("/root/reference/core/gcd.bril").read()
+    fns = parse_bril_text(text)
+    assert [f["name"] for f in fns] == ["main"]
+    assert fns[0]["args"] == ["op1", "op2"]
+    labels = [i["label"] for i in fns[0]["instrs"] if "label" in i]
+    assert labels[0] == "cmp.val" and "program.end" in labels
+
+
+@pytest.mark.parametrize("pass_name", PASSES)
+def test_across_functions_matches_golden_full_corpus(spark, corpus, pass_name):
+    """The reference's differential test shape (test.rs:21-70): the
+    distributed across-functions executor must match the sequential golden
+    on every function of every corpus program — one Spark job per pass."""
+    bl, ed = _filter_cp(*corpus, pass_name)
+    blocks = spark.createDataFrame(bl, schema=BLOCKS_SCHEMA)
+    edges = spark.createDataFrame(ed, schema=EDGES_SCHEMA)
+    got = sorted(
+        tuple(r)
+        for r in run_across_functions(blocks, edges, SPECS[pass_name]).collect()
+    )
+    want = golden_rows(bl, ed, SPECS[pass_name])
+    assert len(got) == len(want)
+    # pinpoint the first differing function like test.rs:37-62
+    if got != want:
+        for g, w in zip(got, want):
+            assert g == w, f"first mismatch at func={w[0]} block={w[1]}"
+
+
+BSP_PROGS = ("core/gcd", "core/totient", "core/fizz-buzz")
+
+
+@pytest.mark.parametrize("pass_name", ["reaching_defs", "live_vars"])
+def test_bsp_matches_golden_core_sample(spark, corpus, pass_name):
+    """BSP rounds (the reference's parallel executor) on real loopy core
+    programs — forward + backward. (BSP pays one Spark superstep per
+    round, so the corpus sample is small; fixtures cover the rest.)"""
+    bl, ed = corpus
+    sel = bl.func_id.str.split("::").str[0].isin(BSP_PROGS)
+    bl, ed = bl[sel], ed[ed.func_id.isin(bl[sel].func_id.unique())]
+    blocks = spark.createDataFrame(bl, schema=BLOCKS_SCHEMA)
+    edges = spark.createDataFrame(ed, schema=EDGES_SCHEMA)
+    got = sorted(tuple(r) for r in run_bsp(blocks, edges, SPECS[pass_name]).collect())
+    assert got == golden_rows(bl, ed, SPECS[pass_name])
+
+
+MIXED_PROGS = (
+    "core/gcd",          # 9 blocks
+    "core/lcm",          # 8
+    "core/totient",      # 11
+    "core/relative-primes",  # 12 (+gcd 12)
+    "core/fizz-buzz",    # 13
+    "core/primes-between",   # 14
+)
+
+
+@pytest.mark.parametrize("threshold", [10, 15, 20, 25, 30])
+def test_mixed_threshold_sweep(spark, corpus, threshold):
+    """The reference differential-tests mixed-{10,15,20,25,30}
+    (impls/src/passes.rs:74-78, test.rs:93-99). At threshold 10 the
+    11-14-block functions route through BSP; at 15+ everything takes the
+    in-task kernel — both paths must match the golden."""
+    bl, ed = corpus
+    sel = bl.func_id.str.split("::").str[0].isin(MIXED_PROGS)
+    bl, ed = bl[sel], ed[ed.func_id.isin(bl[sel].func_id.unique())]
+    blocks = spark.createDataFrame(bl, schema=BLOCKS_SCHEMA)
+    edges = spark.createDataFrame(ed, schema=EDGES_SCHEMA)
+    got = sorted(
+        tuple(r)
+        for r in run_mixed(blocks, edges, SPECS["reaching_defs"], threshold=threshold).collect()
+    )
+    assert got == golden_rows(bl, ed, SPECS["reaching_defs"])
