@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from parallel_dataflow_spark.pkgzip import ensure_on_executors  # noqa: E402
 from parallel_dataflow_spark.plans.registry import (  # noqa: E402
+    LAZY_ORACLE_SQL,
     ORACLE_SQL,
     QUERIES,
     flagship_entry,
@@ -48,5 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twin for each SQL-expressible query."""
-    return dict(ORACLE_SQL)
+    """DuckDB-runnable ANSI-SQL twin for each SQL-expressible query.
+    Lazy entries (e.g. the Bril recursive-CTE oracles, whose VALUES
+    relations come from parsing the reference corpus) are generated here."""
+    out = dict(ORACLE_SQL)
+    for name, gen in LAZY_ORACLE_SQL.items():
+        out[name] = gen()
+    return out

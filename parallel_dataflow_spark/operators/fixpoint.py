@@ -532,7 +532,7 @@ def run_bsp(
     edges: DataFrame,
     spec: Spec,
     max_rounds: int = 200,
-    checkpoint_every: int = 4,
+    bsp_partitions: int = 8,
 ) -> DataFrame:
     """Distributed batched worklist. Per round (one BSP superstep):
 
@@ -591,74 +591,82 @@ def run_bsp(
             out_rows.append((func_id, int(block_id), in_val, out_val))
         return pd.DataFrame(out_rows, columns=["func_id", "block_id", "in_val", "out_val"])
 
+    # The per-round state is tiny (one row per block), so schedule each
+    # superstep over a handful of partitions instead of the session's
+    # shuffle default — at cluster scale the caller sizes this up; rounds
+    # are latency-bound, not throughput-bound. Restored on exit.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(bsp_partitions))
     converged = False
-    for rnd in range(max_rounds):
-        if frontier.isEmpty():
-            converged = True
-            break
-        # meet inputs: predecessors' out_vals of every frontier block
-        pred_edges = edges.join(
-            frontier.withColumnRenamed("block_id", "dst"), ["func_id", "dst"]
-        )
-        pred_state = pred_edges.join(
-            state.select(
-                "func_id",
-                F.col("block_id").alias("src"),
-                F.col("out_val").alias("pred_out"),
-            ),
-            ["func_id", "src"],
-            "left",
-        ).select("func_id", F.col("dst").alias("block_id"), "pred_out")
-        # blocks with no predecessors still need a row (meet over ∅ = init)
-        all_frontier = frontier.join(pred_state, ["func_id", "block_id"], "left")
-        work = all_frontier.join(binst, ["func_id", "block_id"])
+    try:
+        for rnd in range(max_rounds):
+            if frontier.isEmpty():
+                converged = True
+                break
+            # meet inputs: predecessors' out_vals of every frontier block
+            pred_edges = edges.join(
+                frontier.withColumnRenamed("block_id", "dst"), ["func_id", "dst"]
+            )
+            pred_state = pred_edges.join(
+                state.select(
+                    "func_id",
+                    F.col("block_id").alias("src"),
+                    F.col("out_val").alias("pred_out"),
+                ),
+                ["func_id", "src"],
+                "left",
+            ).select("func_id", F.col("dst").alias("block_id"), "pred_out")
+            # blocks with no predecessors still need a row (meet over ∅)
+            all_frontier = frontier.join(pred_state, ["func_id", "block_id"], "left")
+            work = all_frontier.join(binst, ["func_id", "block_id"])
 
-        new_vals = work.groupBy("func_id", "block_id").applyInPandas(
-            kernel, schema=RESULT_SCHEMA
-        )
+            new_vals = work.groupBy("func_id", "block_id").applyInPandas(
+                kernel, schema=RESULT_SCHEMA
+            )
 
-        # change detection (requeue only successors of changed blocks —
-        # impls/src/parallel.rs:48-56)
-        old = state.select(
-            "func_id", "block_id", F.col("out_val").alias("old_out")
-        )
-        delta = new_vals.join(old, ["func_id", "block_id"], "left").filter(
-            (F.col("old_out").isNull()) | (F.col("old_out") != F.col("out_val"))
-        )
-        changed = delta.select("func_id", "block_id")
-
-        # merge new values into state
-        state = (
-            state.join(
-                new_vals.select(
+            # merge + change detection in ONE pass (requeue only successors
+            # of changed blocks — impls/src/parallel.rs:48-56); the single
+            # EAGER localCheckpoint per round is the BSP superstep barrier
+            # (same role as the reference's per-round collect,
+            # impls/src/parallel.rs:58) and keeps lineage O(1) per round.
+            merged = (
+                state.join(
+                    new_vals.select(
+                        "func_id",
+                        "block_id",
+                        F.col("in_val").alias("n_in"),
+                        F.col("out_val").alias("n_out"),
+                    ),
+                    ["func_id", "block_id"],
+                    "left",
+                )
+                .select(
                     "func_id",
                     "block_id",
-                    F.col("in_val").alias("n_in"),
-                    F.col("out_val").alias("n_out"),
-                ),
-                ["func_id", "block_id"],
-                "left",
+                    F.coalesce("n_in", "in_val").alias("in_val"),
+                    F.coalesce("n_out", "out_val").alias("out_val"),
+                    (
+                        F.col("n_out").isNotNull()
+                        & (F.col("n_out") != F.col("out_val"))
+                    ).alias("chg"),
+                )
+                .localCheckpoint()
             )
-            .select(
-                "func_id",
-                "block_id",
-                F.coalesce("n_in", "in_val").alias("in_val"),
-                F.coalesce("n_out", "out_val").alias("out_val"),
+            state = merged.select("func_id", "block_id", "in_val", "out_val")
+            frontier = (
+                edges.join(
+                    merged.filter("chg").select(
+                        "func_id", F.col("block_id").alias("src")
+                    ),
+                    ["func_id", "src"],
+                )
+                .select("func_id", F.col("dst").alias("block_id"))
+                .dropDuplicates(["func_id", "block_id"])
             )
-        )
-        frontier = (
-            edges.join(changed.withColumnRenamed("block_id", "src"), ["func_id", "src"])
-            .select("func_id", F.col("dst").alias("block_id"))
-            .dropDuplicates(["func_id", "block_id"])
-        )
-        # EAGER checkpoint every round: state/frontier lineage otherwise
-        # grows per round and every action replays all prior rounds
-        # (quadratic). This is the BSP superstep barrier — same role as the
-        # reference's per-round collect (impls/src/parallel.rs:58).
-        state = state.localCheckpoint()
-        frontier = frontier.localCheckpoint()
-
-    binst.unpersist()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        binst.unpersist()
     if not converged and not frontier.isEmpty():
         raise RuntimeError(
             f"BSP fixpoint did not converge within {max_rounds} rounds "

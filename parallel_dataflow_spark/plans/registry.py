@@ -28,6 +28,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
+# oracle SQL generated on demand (e.g. recursive-CTE oracles whose VALUES
+# relations are derived by parsing the reference's Bril corpus)
+LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {}
 
 
 def register(name: str, sql: str | None = None):
@@ -903,8 +906,16 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return lsh_topk(e.filter(F.col("vec_id") >= 5), q, k=5)
-# iterative worklist semantics are not ANSI-SQL-expressible. Differential
-# correctness vs the pure-Python golden is enforced in tests/test_fixpoint.py.)
+
+
+# ---------------------------------------------------------------------------
+# Dataflow fixpoint queries (the reference's core engine). Fixture entries
+# are rows-only (iterative worklist semantics are not ANSI-SQL-expressible
+# in general; differential correctness vs the pure-Python golden is in
+# tests/test_fixpoint.py). The *_bril entries run on the reference's REAL
+# core/ corpus, and ReachingDefs / LiveVars carry a genuinely independent
+# DuckDB oracle: the same dataflow equations solved as a recursive CTE
+# (plans/bril_oracle.py).
 # ---------------------------------------------------------------------------
 
 def _fixture_dfs(spark: SparkSession):
@@ -946,6 +957,116 @@ def dataflow_bsp_reaching_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blocks, edges = fixture_dataframes(spark, seed=42, n_random=0, multi_func_skew=False)
     return run_bsp(blocks, edges, SPECS["reaching_defs"])
+
+
+def _bril_core_dfs(spark: SparkSession):
+    from parallel_dataflow_spark.sources.bril import corpus_dataframes
+
+    return corpus_dataframes(spark, subdirs=("core",))
+
+
+def _bril_query(pass_name: str, doc: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from parallel_dataflow_spark.operators.fixpoint import (
+            SPECS,
+            run_across_functions,
+        )
+
+        blocks, edges = _bril_core_dfs(spark)
+        return run_across_functions(blocks, edges, SPECS[pass_name]).orderBy(
+            "func_id", "block_id"
+        )
+
+    q.__name__ = f"dataflow_{pass_name}_bril"
+    q.__doc__ = doc
+    return q
+
+
+for _p, _doc in (
+    (
+        "reaching_defs",
+        "ReachingDefs fixpoint over the reference's REAL core/ corpus "
+        "(53 .bril programs parsed by sources/bril.py — the inputs of "
+        "impls/src/bin/test.rs:89-101). Oracle: the same dataflow "
+        "equations solved independently as a DuckDB recursive CTE, "
+        "including the reference's arg-def init-seeding semantics "
+        "(plans/bril_oracle.py).",
+    ),
+    (
+        "live_vars",
+        "LiveVars (backward) fixpoint over the reference's core/ corpus; "
+        "engine runs forward on reversed edges. Oracle: recursive-CTE "
+        "least fixpoint (exact — LV seeds at bottom), "
+        "plans/bril_oracle.py.",
+    ),
+    (
+        "const_prop",
+        "ConstProp fixpoint over the reference's core/ corpus (fold "
+        "against block IN env, i64 truncating division, bool literals — "
+        "passes/src/const_prop.rs:47-68). Rows-only: the flat-map lattice "
+        "is not recursive-CTE-expressible; differential coverage in "
+        "tests/test_bril_corpus.py.",
+    ),
+    (
+        "available_exprs",
+        "AvailableExprs fixpoint over the reference's core/ corpus "
+        "(intersection meet with Full ⊤ — passes/src/available_expr.rs). "
+        "Rows-only; differential coverage in tests/test_bril_corpus.py.",
+    ),
+):
+    register(f"dataflow_{_p}_bril")(_bril_query(_p, _doc))
+
+
+def _lazy_rd_oracle() -> str:
+    from parallel_dataflow_spark.plans.bril_oracle import reaching_defs_oracle_sql
+
+    return reaching_defs_oracle_sql()
+
+
+def _lazy_lv_oracle() -> str:
+    from parallel_dataflow_spark.plans.bril_oracle import live_vars_oracle_sql
+
+    return live_vars_oracle_sql()
+
+
+LAZY_ORACLE_SQL["dataflow_reaching_defs_bril"] = _lazy_rd_oracle
+LAZY_ORACLE_SQL["dataflow_live_vars_bril"] = _lazy_lv_oracle
+
+
+@register("dataflow_mixed_reaching_defs")
+def dataflow_mixed_reaching_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed size-threshold executor (impls/src/mixed.rs:32-38) on real
+    core/ programs straddling the threshold: at threshold 10, gcd/lcm run
+    in-task while fizz-buzz (13 blocks) takes the distributed BSP path.
+    Thresholds {10,15,20,25,30} are differential-swept in
+    tests/test_bril_corpus.py (reference: impls/src/passes.rs:74-78)."""
+    from parallel_dataflow_spark.operators.fixpoint import SPECS, run_mixed
+    from parallel_dataflow_spark.sources.bril import corpus_dataframes
+
+    blocks, edges = corpus_dataframes(spark, subdirs=("core",))
+    keep = F.col("func_id").startswith("core/gcd") | F.col("func_id").startswith(
+        "core/lcm"
+    ) | F.col("func_id").startswith("core/fizz-buzz")
+    return run_mixed(
+        blocks.filter(keep), edges.filter(keep), SPECS["reaching_defs"], threshold=10
+    ).orderBy("func_id", "block_id")
+
+
+@register("dataflow_exit_values")
+def dataflow_exit_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exit_val = finish(meet(out[exit blocks])) per function — the third
+    component of the reference's Dataflow output
+    (impls/src/sequential.rs:51-58) — for ReachingDefs over core/."""
+    from parallel_dataflow_spark.operators.fixpoint import (
+        SPECS,
+        exit_values,
+        run_across_functions,
+    )
+
+    blocks, edges = _bril_core_dfs(spark)
+    spec = SPECS["reaching_defs"]
+    res = run_across_functions(blocks, edges, spec)
+    return exit_values(res, blocks, spec).orderBy("func_id")
 
 
 @register(

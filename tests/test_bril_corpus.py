@@ -115,6 +115,30 @@ MIXED_PROGS = (
 )
 
 
+def test_exit_values_core_golden(spark, corpus):
+    """exit_val = finish(meet(out[exit blocks])) per function
+    (impls/src/sequential.rs:51-58), checked against a hand-rolled golden
+    over the core/ corpus."""
+    from parallel_dataflow_spark.operators.fixpoint import exit_values
+
+    bl, ed = corpus
+    sel = bl.func_id.str.startswith("core/")
+    bl, ed = bl[sel], ed[ed.func_id.isin(bl[sel].func_id.unique())]
+    spec = SPECS["reaching_defs"]
+    rows = golden_rows(bl, ed, spec)
+    outs = {(r[0], r[1]): r[3] for r in rows}
+    want = {}
+    for fid, fb in bl.groupby("func_id"):
+        exits = sorted(fb[fb.is_exit].block_id.tolist())
+        want[fid] = spec.finish(spec.meet(sorted(outs[(fid, b)] for b in exits)))
+
+    blocks = spark.createDataFrame(bl, schema=BLOCKS_SCHEMA)
+    edges = spark.createDataFrame(ed, schema=EDGES_SCHEMA)
+    res = run_across_functions(blocks, edges, spec)
+    got = {r["func_id"]: r["exit_val"] for r in exit_values(res, blocks, spec).collect()}
+    assert got == want
+
+
 @pytest.mark.parametrize("threshold", [10, 15, 20, 25, 30])
 def test_mixed_threshold_sweep(spark, corpus, threshold):
     """The reference differential-tests mixed-{10,15,20,25,30}
