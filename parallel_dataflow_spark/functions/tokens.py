@@ -76,9 +76,10 @@ def token_histogram_agg(tokens_col: str, vocab: int = VOCAB):
 
 
 def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    # a ∈ [1, 2^31), b ∈ [0, p): a*x fits uint64 for x < 2^32 (see UDF)
     rng = np.random.default_rng(np.random.PCG64(seed))
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
     return a, b
 
 
@@ -86,8 +87,12 @@ def minhash_signature_udf(num_hashes: int = 128, seed: int = 7):
     """Returns a pandas UDF: array<long> shingle-hash set → minhash signature
     array<int> of length ``num_hashes``.
 
-    Vectorized: for each row, (a*x + b) mod p over the outer product
-    shingles × permutations in one numpy broadcast.
+    A true (a*x + b) mod p universal family, overflow-free in uint64:
+    the 64-bit shingle hash is first reduced to the 32-bit domain
+    (x &= 2^32-1 — collisions within a doc's shingle set are ~n²/2^33,
+    negligible), then a < 2^31 keeps a*x < 2^63 and b < p = 2^61-1 keeps
+    a*x + b < 2^64. Vectorized: one (n_shingles × num_hashes) numpy
+    broadcast per row.
     """
     a, b = _minhash_params(num_hashes, seed)
 
@@ -95,14 +100,15 @@ def minhash_signature_udf(num_hashes: int = 128, seed: int = 7):
     def _minhash(shingles: pd.Series) -> pd.Series:
         out = []
         for arr in shingles:
-            x = np.asarray(arr, dtype=np.int64)
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64) & np.uint64(_MAX_HASH)
             if x.size == 0:
-                out.append(np.full(num_hashes, _MAX_HASH, dtype=np.int64))
+                out.append(np.full(num_hashes, _MAX_HASH, dtype=np.uint64))
                 continue
-            # (n_shingles, num_hashes) broadcast; Python ints avoid overflow
-            hv = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE % _MAX_HASH
+            hv = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE) % np.uint64(_MAX_HASH)
             out.append(hv.min(axis=0))
-        return pd.Series([v.astype(np.int64).astype("int32", casting="unsafe").tolist() for v in out])
+        return pd.Series(
+            [v.astype(np.int64).astype("int32", casting="unsafe").tolist() for v in out]
+        )
 
     return _minhash
 

@@ -30,7 +30,10 @@ def words_col(text, distinct: bool = True):
 
 
 def shingles_col(text, n: int = 3):
-    """Word n-gram shingles (strings), distinct. JVM-side higher-order fns."""
+    """Word n-gram shingles (strings), distinct. JVM-side higher-order fns.
+    Docs with fewer than n words produce an EMPTY shingle set (matching
+    the DuckDB oracle's range semantics) — without the guard, out-of-range
+    element_at would silently pad a partial shingle."""
     w = words_col(text, distinct=False)
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
     gram = F.transform(
@@ -39,7 +42,9 @@ def shingles_col(text, n: int = 3):
             " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(gram)
+    return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -111,16 +116,23 @@ def minhash_lsh_pairs(
     candidate join is what makes it feasible at 10^9 docs.
     """
     rows_per_band = num_hashes // bands
+    # shingle STRINGS die at the scan stage: everything downstream (band
+    # join + exact verification) runs on the 8-byte xxhash64 shingle-hash
+    # sets — identical set algebra (hash of a distinct string set is a
+    # distinct hash set modulo 64-bit collisions), ~2.5x less shuffle
+    # payload than 3-word string shingles.
     d = documents.select(
         "doc_id",
-        shingles_col(F.col("text"), shingle_n).alias("sh"),
-    ).withColumn("shash", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+        F.array_distinct(
+            F.transform(shingles_col(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("shash"),
+    )
     sig = d.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("shash")))
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         "doc_id",
-        "sh",
+        "shash",
         F.explode(
             F.transform(
                 band_idx,
@@ -137,7 +149,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    ).select("doc_id", "shash", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -151,8 +163,8 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("a.shash").alias("sh_a"),
+            F.col("b.shash").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )

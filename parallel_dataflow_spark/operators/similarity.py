@@ -25,48 +25,75 @@ def _hyperplanes(dim: int, bits: int, seed: int = 13) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def _sign_hash_udf(planes: np.ndarray):
-    @F.pandas_udf(T.IntegerType())
-    def sign_hash(embs: pd.Series) -> pd.Series:
-        mat = np.stack(embs.map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
-        bits = (mat @ planes.T) > 0  # (n, bits)
-        out = np.zeros(len(embs), dtype=np.int32)
-        for i in range(planes.shape[0]):
-            out |= bits[:, i].astype(np.int32) << i
-        return pd.Series(out)
+def _sign_buckets_udf(bits_per_table: int, tables: int, seed: int = 13):
+    """array<float> embedding → array<int> of ``tables`` sign-hash buckets
+    (bits_per_table planes each; bucket bit j of table t comes from plane
+    t*bits_per_table + j, LSB first).
 
-    return sign_hash
+    The hyperplanes are generated INSIDE the UDF from the Arrow batch's
+    vector length — deterministic per (seed, dim), identical on every
+    worker and batch, and no driver-side ``.first()`` job in the hot path
+    (generation is a trivial seeded standard_normal per batch).
+    """
+    n_planes = bits_per_table * tables
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def sign_buckets(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(embs.map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+        planes = _hyperplanes(mat.shape[1], n_planes, seed)
+        bits = (mat @ planes.T) > 0  # (n, n_planes)
+        out = np.zeros((len(embs), tables), dtype=np.int32)
+        for t in range(tables):
+            for j in range(bits_per_table):
+                out[:, t] |= bits[:, t * bits_per_table + j].astype(np.int32) << j
+        return pd.Series(list(out.tolist()))
+
+    return sign_buckets
 
 
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    bits: int = 8,
-    probe_hamming: int = 1,
+    bits: int = 4,
+    probe_hamming: int = 2,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k cosine: bucket join on sign hash (query probes its
     bucket + all buckets within ``probe_hamming`` bit flips), exact rerank
-    inside candidates."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, bits)
-    sign_hash = _sign_hash_udf(planes)
+    inside candidates. ``dim`` is unused (kept for API compatibility) —
+    hyperplanes are derived worker-side from the batch's vector length.
 
-    c = corpus.withColumn("bucket", sign_hash(F.col(vec_col))).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket"
-    )
-    q = queries.withColumn("bucket0", sign_hash(F.col(vec_col))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket0"
-    )
-    # probe set: bucket0 plus single-bit flips (multi-probe LSH)
+    (bits, probes) is the recall/cost dial: defaults (4, ≤2) give
+    recall@5 ≈ 0.92 on the weak-neighbor synthetic corpus (top-5 cosines
+    only ~0.3-0.4 — see tests/test_similarity.py); corpora with real
+    near-neighbors (cos ≥ 0.9) support more bits = finer buckets at the
+    same recall, which is where the selectivity at 10^9 vectors comes
+    from."""
+    sign_hash = _sign_buckets_udf(bits_per_table=bits, tables=1)
+
+    c = corpus.withColumn(
+        "bucket", F.element_at(sign_hash(F.col(vec_col)), 1)
+    ).select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket")
+    q = queries.withColumn(
+        "bucket0", F.element_at(sign_hash(F.col(vec_col)), 1)
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket0")
+    # probe set: bucket0 plus all buckets within probe_hamming bit flips
+    # (multi-probe LSH — one exploded row per probed bucket)
     flips = [F.col("bucket0")]
     if probe_hamming >= 1:
         flips += [F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
-    q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    if probe_hamming >= 2:
+        flips += [
+            F.col("bucket0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array_distinct(F.array(*flips))))
 
     # cosine on candidates (JVM fold — deterministic order)
     dot = F.aggregate(
@@ -90,3 +117,64 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    bits_per_table: int = 3,
+    tables: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via BANDED sign-hash LSH + exact
+    cosine rerank — the 100 TB-scale dedup path (the exact label-blocked
+    all-pairs query is the verification kernel, not the scale path).
+
+    Amplification mirrors minhash banding: ``tables`` independent hash
+    tables of ``bits_per_table`` hyperplane sign bits each; a pair becomes
+    a candidate iff its buckets match in ANY table (equi-join on
+    (table, bucket) — never a cross join), then candidates are verified
+    with exact cosine ≥ threshold. Pair recall = 1-(1-p^b)^L with
+    p = 1 - θ/π; at the demo operating point (t=0.45 ⇒ p≈0.65, b=3, L=8)
+    recall ≈ 0.92, asserted in tests/test_similarity.py. Deterministic:
+    hyperplanes are seeded, so the DuckDB oracle reproduces the bucketing
+    exactly (plans/registry.py dedup_embedding_lsh).
+    """
+    sign_buckets = _sign_buckets_udf(bits_per_table, tables, seed)
+    b = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(sign_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    cos = dot / F.greatest(nrm(F.col("va")) * nrm(F.col("vb")), F.lit(1e-12))
+    return (
+        cand.withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

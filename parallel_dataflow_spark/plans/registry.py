@@ -870,9 +870,11 @@ def lang_id_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (label-blocked exact search, threshold 0.25;
-    JVM higher-order-function arithmetic, sequential fold matching the
-    oracle's evaluation order)."""
+    """Embedding-cosine near-duplicate pairs (label-blocked EXACT all-pairs,
+    threshold 0.25; JVM higher-order-function arithmetic, sequential fold
+    matching the oracle's evaluation order). This is the VERIFICATION
+    kernel — O(n²/labels) blows up on large labels at 10^9 vectors; the
+    scale path is dedup_embedding_lsh (banded sign-hash bucket join)."""
     e = _t(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
@@ -906,6 +908,61 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return lsh_topk(e.filter(F.col("vec_id") >= 5), q, k=5)
+
+
+def _embedding_lsh_oracle() -> str:
+    """Oracle for dedup_embedding_lsh: replicates the seeded hyperplane
+    bucketing (8 tables × 3 sign bits, seed 13 — identical numpy stream as
+    the engine UDF) as SQL literals, then bucket-joins and verifies exact
+    cosine ≥ 0.45. Testdata embeddings are 64-d."""
+    from parallel_dataflow_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 24, seed=13)  # tables*bits_per_table = 8*3
+    rows = ",\n      ".join(
+        f"({i // 3}, {i % 3}, [{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(24)
+    )
+    cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) "
+        "/ greatest(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) "
+        "* sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])), 1e-12)"
+    )
+    return f"""
+    WITH planes(tbl, bit, vec) AS (VALUES
+      {rows}
+    ),
+    b AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.vec) > 0
+                           THEN (1 << p.bit) ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      FROM b a JOIN b b2
+        ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, round({cos}, 4) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE round({cos}, 4) >= 0.45
+    """
+
+
+@register("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-hash LSH (8 tables × 3
+    bits) + exact cosine rerank ≥ 0.45 — the scale path for embedding
+    dedup: candidates come from (table, bucket) equi-joins, never a cross
+    join. Oracle reproduces the seeded bucketing exactly."""
+    from parallel_dataflow_spark.operators.similarity import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+LAZY_ORACLE_SQL["dedup_embedding_lsh"] = _embedding_lsh_oracle
 
 
 # ---------------------------------------------------------------------------

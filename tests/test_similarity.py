@@ -1,0 +1,79 @@
+"""Recall gates for the approximate similarity/dedup paths.
+
+Both operators are APPROXIMATE by construction (LSH candidate generation)
+with exact verification/rerank — precision is 1.0 by design; these tests
+pin the recall floor on the deterministic test corpus (seeded hyperplanes
++ fixed data ⇒ exact recall is reproducible, asserted with headroom).
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    V = np.stack(t.embedding.map(lambda v: np.asarray(v, dtype=np.float64)))
+    ids = t.vec_id.to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    return ids, Vn
+
+
+def test_lsh_topk_recall_vs_exact(spark, vectors):
+    """knn_cosine_ivf's lsh_topk: recall@5 >= 0.85 vs exact brute force
+    (measured 0.92 at bits=4, probe<=2 on this corpus)."""
+    from parallel_dataflow_spark.operators.similarity import lsh_topk
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    ids, Vn = vectors
+    S = Vn @ Vn.T
+    qmask = ids < 5
+    exact = {}
+    for qi in np.where(qmask)[0]:
+        cidx = np.where(~qmask)[0]
+        top = cidx[np.argsort(-S[qi, cidx])[:5]]
+        exact[int(ids[qi])] = {int(ids[c]) for c in top}
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    from pyspark.sql import functions as F
+
+    got = (
+        lsh_topk(e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), k=5)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    hits = sum(len(by_q.get(q, set()) & e5) for q, e5 in exact.items())
+    recall = hits / (5 * len(exact))
+    assert recall >= 0.85, f"recall@5 {recall:.2f} < 0.85"
+
+
+def test_embedding_lsh_pairs_recall_and_precision(spark, vectors):
+    """dedup_embedding_lsh: banded sign-LSH pair recall >= 0.8 vs exact
+    all-pairs at the same threshold (expected ~0.92 at b=3, L=8, t=0.45);
+    precision is exactly 1.0 (every emitted pair is exact-verified)."""
+    from parallel_dataflow_spark.operators.similarity import embedding_lsh_pairs
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    ids, Vn = vectors
+    S = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = np.round(S[iu], 4) >= 0.45
+    truth = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(iu[0][mask], iu[1][mask])
+    }
+    assert truth, "test corpus must contain pairs above the threshold"
+
+    got_rows = embedding_lsh_pairs(
+        load_table(spark, SF_DIR, "embeddings"), threshold=0.45
+    ).collect()
+    got = {(int(r["vec_a"]), int(r["vec_b"])) for r in got_rows}
+    assert got <= truth, f"false positives: {got - truth}"  # precision 1.0
+    recall = len(got) / len(truth)
+    assert recall >= 0.8, f"pair recall {recall:.2f} < 0.8 ({len(got)}/{len(truth)})"
