@@ -22,6 +22,27 @@ import sys
 import time
 
 
+# pass-name aliases, mirroring the reference's strum serializations
+# (impls/src/passes.rs:84-107)
+PASS_ALIASES = {
+    "rd": "reaching_defs",
+    "reaching-definitions": "reaching_defs",
+    "reaching-defs": "reaching_defs",
+    "reaching_defs": "reaching_defs",
+    "lv": "live_vars",
+    "live-vars": "live_vars",
+    "live-variables": "live_vars",
+    "live_vars": "live_vars",
+    "const-prop": "const_prop",
+    "const-propagation": "const_prop",
+    "const_prop": "const_prop",
+    "available-expr": "available_exprs",
+    "available-expressions": "available_exprs",
+    "available-exprs": "available_exprs",
+    "available_exprs": "available_exprs",
+}
+
+
 def _executor(spec_str: str):
     from parallel_dataflow_spark.operators import fixpoint as fx
 
@@ -37,16 +58,60 @@ def _executor(spec_str: str):
     }[spec_str]
 
 
+def _load_input(spark, input_spec: str):
+    """'fixtures' → deterministic CFG fixtures; '-' → Bril text on stdin;
+    a path → one .bril file or a directory of them."""
+    import os
+
+    if input_spec == "fixtures":
+        from parallel_dataflow_spark.sources.cfg_fixtures import fixture_dataframes
+
+        return fixture_dataframes(spark, seed=42)
+
+    import pandas as pd
+
+    from parallel_dataflow_spark.sources.bril import program_rows
+    from parallel_dataflow_spark.sources.cfg_fixtures import BLOCKS_SCHEMA, EDGES_SCHEMA
+
+    if input_spec == "-":
+        b, e = program_rows(sys.stdin.read(), "stdin")
+    elif os.path.isdir(input_spec):
+        b, e = [], []
+        for fn in sorted(os.listdir(input_spec)):
+            if fn.endswith(".bril"):
+                fb, fe = program_rows(
+                    open(os.path.join(input_spec, fn)).read(), fn[:-5]
+                )
+                b += fb
+                e += fe
+    else:
+        b, e = program_rows(open(input_spec).read(), os.path.basename(input_spec)[:-5])
+    return (
+        spark.createDataFrame(pd.DataFrame(b), schema=BLOCKS_SCHEMA),
+        spark.createDataFrame(
+            pd.DataFrame(e, columns=["func_id", "src", "dst"]), schema=EDGES_SCHEMA
+        ),
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="parallel_dataflow_spark")
     p.add_argument("--master", default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    d = sub.add_parser("dataflow", help="run a fixpoint analysis over CFG fixtures")
+    d = sub.add_parser("dataflow", help="run a fixpoint analysis")
     d.add_argument("--pass", dest="pass_name", required=True,
-                   choices=["reaching_defs", "live_vars", "const_prop", "available_exprs"])
+                   choices=sorted(PASS_ALIASES),
+                   help="analysis (reference aliases accepted: rd, lv, ...)")
     d.add_argument("--executor", default="seq")
     d.add_argument("--raw", action="store_true", help="print ns timings only (main.rs -r)")
+    d.add_argument(
+        "--input",
+        default="fixtures",
+        help="'fixtures' (default), a .bril file, a directory of .bril "
+        "files, or '-' for Bril text on stdin (the reference's input mode, "
+        "utils/src/dataflow_executor.rs:21-32)",
+    )
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("--name", required=True)
@@ -66,15 +131,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "dataflow":
         from parallel_dataflow_spark.operators.fixpoint import SPECS
-        from parallel_dataflow_spark.sources.cfg_fixtures import fixture_dataframes
 
+        # loadtime = parse + CFG build + materialize (PassTiming.loadtime,
+        # utils/src/dataflow_executor.rs:10-13,27-37); runtime = fixpoint
         t_load0 = time.time_ns()
-        blocks, edges = fixture_dataframes(spark, seed=42)
+        blocks, edges = _load_input(spark, args.input)
         blocks.cache().count()
         load_ns = time.time_ns() - t_load0
 
         t_run0 = time.time_ns()
-        res = _executor(args.executor)(blocks, edges, SPECS[args.pass_name])
+        pass_name = PASS_ALIASES[args.pass_name]
+        res = _executor(args.executor)(blocks, edges, SPECS[pass_name])
         rows = res.orderBy("func_id", "block_id").collect()
         run_ns = time.time_ns() - t_run0
         if args.raw:

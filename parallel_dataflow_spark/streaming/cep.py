@@ -54,6 +54,7 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("buf_ts", T.ArrayType(T.LongType())),    # epoch micros
         T.StructField("buf_mask", T.ArrayType(T.IntegerType())),
+        T.StructField("buf_ck", T.ArrayType(T.LongType())),    # xxhash64(tokens)
         T.StructField("p_state", T.ArrayType(T.IntegerType())),
         T.StructField("p_start", T.ArrayType(T.LongType())),
         T.StructField("p_last", T.ArrayType(T.LongType())),
@@ -158,14 +159,15 @@ def match_pattern_stream(stream: DataFrame, pattern: Pattern, watermark: str = "
     def kernel(key, pdf_iter, state):
         doc_id = key[0]
         if state.exists:
-            buf_ts, buf_mask, p_state_a, p_start_a, p_last_a = state.get
+            buf_ts, buf_mask, buf_ck, p_state_a, p_start_a, p_last_a = state.get
             buf_ts = list(buf_ts)
             buf_mask = list(buf_mask)
+            buf_ck = list(buf_ck)
             p_state = list(p_state_a)
             p_start = list(p_start_a)
             p_last = list(p_last_a)
         else:
-            buf_ts, buf_mask = [], []
+            buf_ts, buf_mask, buf_ck = [], [], []
             p_state, p_start, p_last = [], [], []
 
         timed_out = state.hasTimedOut
@@ -177,6 +179,7 @@ def match_pattern_stream(stream: DataFrame, pattern: Pattern, watermark: str = "
                 mask = row_step_mask(pdf["tokens"], pattern)
                 buf_ts.extend(ts.tolist())
                 buf_mask.extend(mask.tolist())
+                buf_ck.extend(pdf["__ck"].astype(np.int64).tolist())
         else:
             # consume the (empty) iterator per API contract
             for _ in pdf_iter:
@@ -184,9 +187,19 @@ def match_pattern_stream(stream: DataFrame, pattern: Pattern, watermark: str = "
 
         wm_us = state.getCurrentWatermarkMs() * 1000
 
-        order = np.lexsort((np.asarray(buf_mask, dtype=np.int64), np.asarray(buf_ts, dtype=np.int64))) if buf_ts else np.array([], dtype=np.int64)
+        # strict (event_ts, checksum) release order — the same tie-break the
+        # batch twin sorts by, so same-second rows with different step masks
+        # feed the NFA identically on both paths
+        order = (
+            np.lexsort(
+                (np.asarray(buf_ck, dtype=np.int64), np.asarray(buf_ts, dtype=np.int64))
+            )
+            if buf_ts
+            else np.array([], dtype=np.int64)
+        )
         sorted_ts = np.asarray(buf_ts, dtype=np.int64)[order] if buf_ts else np.array([], dtype=np.int64)
         sorted_mask = np.asarray(buf_mask, dtype=np.int32)[order] if buf_ts else np.array([], dtype=np.int32)
+        sorted_ck = np.asarray(buf_ck, dtype=np.int64)[order] if buf_ts else np.array([], dtype=np.int64)
 
         if timed_out:
             release = np.ones(len(sorted_ts), dtype=bool)
@@ -199,6 +212,7 @@ def match_pattern_stream(stream: DataFrame, pattern: Pattern, watermark: str = "
 
         rem_ts = sorted_ts[~release]
         rem_mask = sorted_mask[~release]
+        rem_ck = sorted_ck[~release]
 
         if timed_out and len(rem_ts) == 0 and not p_state:
             state.remove()
@@ -207,6 +221,7 @@ def match_pattern_stream(stream: DataFrame, pattern: Pattern, watermark: str = "
                 (
                     rem_ts.tolist(),
                     rem_mask.tolist(),
+                    rem_ck.tolist(),
                     list(p_state),
                     list(p_start),
                     list(p_last),
@@ -235,7 +250,8 @@ def match_pattern_stream(stream: DataFrame, pattern: Pattern, watermark: str = "
             )
 
     return (
-        stream.withWatermark("event_ts", watermark)
+        stream.withColumn("__ck", F.xxhash64("tokens"))
+        .withWatermark("event_ts", watermark)
         .groupBy("doc_id")
         .applyInPandasWithState(
             kernel,
