@@ -152,9 +152,23 @@ def match_pattern_batch(df: DataFrame, pattern: Pattern) -> DataFrame:
     return with_ck.groupBy("doc_id").applyInPandas(per_doc, schema=MATCH_SCHEMA)
 
 
-def match_pattern_stream(stream: DataFrame, pattern: Pattern, watermark: str = "5 minutes") -> DataFrame:
+def match_pattern_stream(
+    stream: DataFrame,
+    pattern: Pattern,
+    watermark: str = "5 minutes",
+    max_buffer_rows: int = 100_000,
+) -> DataFrame:
     """Streaming NFA: keyed state per doc_id, buffer-until-watermark
-    release, event-time timeout flush."""
+    release, event-time timeout flush.
+
+    ``max_buffer_rows`` bounds per-key state: if a key's buffer would
+    exceed it (hot key + stalled watermark), the OLDEST overflow rows are
+    released through the NFA early, in the same (event_ts, checksum)
+    order. For those rows the batching-independence guarantee weakens to
+    arrival-order determinism (a straggler older than an early-released
+    row would be sequenced after it) — the documented trade for bounded
+    state on pathological keys; rows behind the watermark are never
+    affected."""
 
     def kernel(key, pdf_iter, state):
         doc_id = key[0]
@@ -205,6 +219,12 @@ def match_pattern_stream(stream: DataFrame, pattern: Pattern, watermark: str = "
             release = np.ones(len(sorted_ts), dtype=bool)
         else:
             release = sorted_ts <= wm_us
+            n_rem = int((~release).sum())
+            if n_rem > max_buffer_rows:
+                # bounded-state fallback: also release the oldest overflow
+                # (sorted_ts is ascending, so the retained rows are the
+                # newest max_buffer_rows)
+                release = np.arange(len(sorted_ts)) < (len(sorted_ts) - max_buffer_rows)
 
         matches = advance_nfa(
             pattern, sorted_ts[release], sorted_mask[release], p_state, p_start, p_last

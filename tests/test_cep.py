@@ -130,6 +130,43 @@ def test_stream_matcher_equals_batch(spark, cep_df, tmp_path):
     assert got == want
 
 
+def test_stream_matcher_bounded_buffer(spark, cep_df, tmp_path):
+    """max_buffer_rows caps per-key state by releasing the OLDEST overflow
+    rows through the NFA early. With in-order arrival (files split by
+    time) the early release preserves the match set exactly."""
+    src = str(tmp_path / "cep_src_cap")
+    os.makedirs(src)
+    pdf = pd.DataFrame(_rows())
+    pdf["event_ts"] = pdf["event_ts"].astype("datetime64[us]")
+    pdf = pdf.sort_values("event_ts")
+    for i, part in enumerate(np.array_split(pdf, 4)):
+        spark.createDataFrame(part, schema=SEQUENCE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"chunk={i:04d}"))
+
+    from parallel_dataflow_spark.sources.sequences import read_sequence_stream
+
+    stream = read_sequence_stream(spark, src, max_files_per_trigger=1)
+    # normal watermark, cap=1: between batches the lagging watermark keeps
+    # >1 row buffered, so the overflow path releases the oldest rows early;
+    # the sentinel still watermark-flushes the tail, and with in-order
+    # arrival the final match set is unchanged
+    matches = match_pattern_stream(
+        stream, PATTERN, watermark="1 minute", max_buffer_rows=1
+    )
+    q = (
+        matches.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_cap_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("select * from cep_cap_out").collect())
+    assert got == golden_matches(_rows(), PATTERN)
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Watermarked stream-stream join vs its batch twin."""
     from parallel_dataflow_spark.sources.sequences import read_sequence_stream, write_sequence_table
