@@ -24,6 +24,16 @@ from parallel_dataflow_spark.functions.text import norm_text, fingerprint_md5
 from parallel_dataflow_spark.functions.tokens import minhash_signature_udf, simhash64_udf
 
 
+def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Repartition to the session's default parallelism. Small inputs
+    (single parquet file → ONE scan partition) otherwise run the heavy
+    per-row shingle/signature work on a single core; at 100 TB the scan
+    has thousands of splits and this is a cheap no-op-ish shuffle of the
+    raw rows before the expensive compute."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def words_col(text, distinct: bool = True):
     w = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
     return F.array_distinct(w) if distinct else w
@@ -73,9 +83,12 @@ def jaccard_pairs(
     at scale the blocking key bounds the candidate set; the exact set
     algebra (array_intersect/array_union) stays JVM-side.
     """
-    d = documents.select(
+    d = spread(documents).select(
         "doc_id", "lang", "n_chars", shingles_col(F.col("text"), shingle_n).alias("sh")
     )
+    # materialize-once: both sides of the self-join read the shingle sets
+    # (at 100 TB this intermediate is a checkpointed/written table)
+    d = d.persist()
     a = d.alias("a")
     b = d.alias("b")
     pairs = a.join(
@@ -121,13 +134,16 @@ def minhash_lsh_pairs(
     # sets — identical set algebra (hash of a distinct string set is a
     # distinct hash set modulo 64-bit collisions), ~2.5x less shuffle
     # payload than 3-word string shingles.
-    d = documents.select(
+    d = spread(documents).select(
         "doc_id",
         F.array_distinct(
             F.transform(shingles_col(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
         ).alias("shash"),
     )
-    sig = d.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("shash")))
+    # materialize-once: the signature table feeds BOTH sides of the band
+    # self-join and the verification — without it the shingle+signature
+    # stage recomputes per branch (at 100 TB: a written intermediate)
+    sig = d.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("shash"))).persist()
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
@@ -182,10 +198,10 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, banded join on four 16-bit
     chunks (a pair within hamming<=3 must agree on >=1 chunk; wider radii
     verified exactly after the candidate join), hamming via bit_count(xor)."""
-    d = documents.select(
+    d = spread(documents).select(
         "doc_id",
         F.transform(words_col(F.col("text")), lambda w: F.xxhash64(w)).alias("whash"),
-    ).withColumn("simhash", simhash64_udf(F.col("whash")))
+    ).withColumn("simhash", simhash64_udf(F.col("whash"))).persist()
 
     chunks = F.array(
         *[
