@@ -27,6 +27,54 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(norm_text(text))
 
 
+def kgram_hashes(text: Column, k: int = 8) -> Column:
+    """Rolling k-char-gram md5 hashes of the normalized text (empty array
+    when shorter than k). md5 hex so a DuckDB oracle computes identical
+    values."""
+    t = norm_text(text)
+    n = F.length(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.md5(t.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints_df(df, text_col: str = "text", k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken) as a
+    DataFrame op: rolling k-char-gram md5 hashes → sliding min per window
+    of w grams → distinct. Returns (doc_id, fingerprint) rows.
+
+    Implementation note: the window mins are computed via posexplode +
+    an analytic ``min OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN
+    CURRENT AND w-1 FOLLOWING)`` — NOT nested array lambdas, because
+    Catalyst's CollapseProject inlines the gram-array expression into a
+    higher-order lambda, re-hashing the whole array per window position
+    (O(m²) md5 calls per doc — measured: a long doc hangs the task).
+    The exploded form is linear, JVM-side, and shuffles by doc_id."""
+    from pyspark.sql import Window
+
+    g = df.select(
+        "doc_id", F.posexplode(kgram_hashes(F.col(text_col), k)).alias("pos", "gram")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    total = Window.partitionBy("doc_id")
+    fps = (
+        g.select(
+            "doc_id",
+            "pos",
+            F.min("gram").over(win).alias("fingerprint"),
+            F.count("*").over(total).alias("m"),
+        )
+        .filter(F.col("pos") <= F.col("m") - w)  # full windows only
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+    return fps
+
+
 def word_count_expr(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 

@@ -854,6 +854,41 @@ def lang_id_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fingerprint_winnow",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN
+               list_transform(range(1, len(t) - 8 + 2), i -> md5(substr(t, i, 8)))
+             ELSE [] END AS grams
+      FROM n
+    ), w AS (
+      SELECT doc_id,
+             CASE WHEN len(grams) >= 4 THEN
+               list_distinct(list_transform(range(1, len(grams) - 4 + 2),
+                                            j -> list_min(grams[j:j+3])))
+             ELSE [] END AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM w
+    """,
+)
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (k=8 char grams,
+    window w=4, md5 gram hash) — the standard near-dup/attribution
+    fingerprint; one row per selected fingerprint. JVM-side: gram hashes
+    via higher-order transform, window mins via posexplode + analytic
+    sliding min (see winnow_fingerprints_df for why not nested lambdas)."""
+    from parallel_dataflow_spark.functions.text import winnow_fingerprints_df
+
+    return winnow_fingerprints_df(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_embedding_cosine",
     """
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
