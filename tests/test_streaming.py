@@ -91,6 +91,31 @@ def test_exactly_once_resume(spark, seq_dir, tmp_path):
     assert got == want
 
 
+def test_tumbling_rocksdb_state_store(spark, seq_dir, tmp_path):
+    """Same job under the RocksDB state-store provider (the at-scale
+    backend: HDFS-backed in-memory state cannot hold 10^12 keys; RocksDB
+    spills to local disk with changelog checkpointing). Provider is a
+    runtime SQL conf — set per-query, restored after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q, sink = run_tumbling_job(spark, seq_dir, str(tmp_path / "rocks"))
+        q.processAllAvailable()
+        q.stop()
+        got = canon(sink.read(spark))
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    want = canon(batch_tumbling_golden(spark, seq_dir))
+    assert got == want
+
+
 def test_session_stream_finalizes(spark, seq_dir, tmp_path):
     q, sink = run_session_job(spark, seq_dir, str(tmp_path / "sess"))
     q.processAllAvailable()
@@ -180,6 +205,41 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     late_win = [r for r in out if r["window_start"].minute == 10]
     assert len(first) == 1 and first[0]["total_tokens"] == 2
     assert late_win == []
+
+
+def test_running_stats_stateful_matches_batch(spark, seq_dir, tmp_path):
+    """Custom keyed stateful accumulator (transformWithStateInPandas when
+    its protobuf dependency exists, applyInPandasWithState fallback — this
+    sandbox lacks google.protobuf, see stateful.tws_available): the FINAL
+    emission per key must equal the one-shot batch fold."""
+    from parallel_dataflow_spark.streaming.stateful import (
+        running_doc_stats_batch,
+        running_doc_stats_stream,
+    )
+
+    stream = read_sequence_stream(spark, seq_dir, max_files_per_trigger=3)
+    out = running_doc_stats_stream(stream)  # api='auto'
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_stats")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.sql("select * from tws_stats")
+    # final emission per key = the row with the max running n_seqs
+    final = {}
+    for r in emitted.collect():
+        if r["doc_id"] not in final or r["n_seqs"] > final[r["doc_id"]]["n_seqs"]:
+            final[r["doc_id"]] = r
+    got = sorted(
+        (k, v["n_seqs"], v["total_tokens"], v["token_checksum"]) for k, v in final.items()
+    )
+    want = canon(running_doc_stats_batch(read_sequence_table(spark, seq_dir)))
+    assert got == want
 
 
 def test_metrics_listener(spark, seq_dir, tmp_path):
