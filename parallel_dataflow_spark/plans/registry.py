@@ -816,6 +816,38 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(d)
 
 
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: one row per
+    sampled frame (every 10th), mapInPandas over Arrow binary. Decode is a
+    deterministic fake (ffmpeg/pyav absent — HAS_VIDEO_DECODERS gates the
+    real path); the explosion/indexing/schema plumbing is real."""
+    from parallel_dataflow_spark.operators.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return frame_sample(d, every_n=10)
+
+
+@register("running_doc_stats")
+def running_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom keyed stateful accumulator
+    (streaming/stateful.py — transformWithStateInPandas with
+    applyInPandasWithState fallback): per-doc count / Σ tokens /
+    running checksum over hash-tokenized documents. Rows-only (the
+    tokenizer is xxhash64-based); stream==batch is differential-tested in
+    tests/test_streaming.py."""
+    from parallel_dataflow_spark.streaming.stateful import running_doc_stats_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokenize_text(F.col("text")).alias("tokens"),
+    )
+    d = d.withColumn("n_tok", F.size("tokens"))
+    return running_doc_stats_batch(d)
+
+
 def _sql_stop_hits(stops: tuple[str, ...]) -> str:
     """DuckDB twin of functions.text._stop_hits (kept in lockstep by
     construction — generated from the same word lists)."""

@@ -1,0 +1,108 @@
+"""Pure-Python goldens for the not-SQL-expressible dedup paths.
+
+dedup_simhash is a rows-only contract entry (DuckDB has no xxhash64), so
+its semantics are pinned here instead: an independent numpy
+reimplementation of the bit-vote signature and of the banded candidate
+rule, fed with the SAME word hashes Spark computed (the only
+non-reimplementable piece is xxhash64 itself)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _golden_simhash(word_hashes: list[int]) -> int:
+    """Independent simhash: per bit b, vote +1 if bit set else -1 over all
+    feature hashes; bit b of the signature = (vote > 0)."""
+    sig = 0
+    h = np.asarray(word_hashes, dtype=np.int64).astype(np.uint64)
+    if h.size == 0:
+        return 0
+    for b in range(64):
+        votes = int(((h >> np.uint64(b)) & np.uint64(1)).sum())
+        if 2 * votes - len(word_hashes) > 0:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # as signed i64
+
+
+def test_simhash_signature_matches_golden(spark):
+    from parallel_dataflow_spark.functions.tokens import simhash64_udf
+    from parallel_dataflow_spark.operators.dedup import words_col
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(60)
+        .select(
+            "doc_id",
+            F.transform(words_col(F.col("text")), lambda w: F.xxhash64(w)).alias("whash"),
+        )
+        .withColumn("simhash", simhash64_udf(F.col("whash")))
+    )
+    rows = d.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert int(r["simhash"]) == _golden_simhash(list(r["whash"])), r["doc_id"]
+
+
+def test_simhash_pairs_match_banded_golden(spark):
+    """The pair set = pairs sharing >=1 of the four 16-bit chunks AND
+    hamming <= max_hamming — replicated independently in numpy."""
+    from parallel_dataflow_spark.operators.dedup import simhash_pairs, words_col
+    from parallel_dataflow_spark.functions.tokens import simhash64_udf
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+
+    sigs = {
+        r["doc_id"]: np.uint64(np.int64(r["simhash"]))
+        for r in docs.select(
+            "doc_id",
+            simhash64_udf(
+                F.transform(words_col(F.col("text")), lambda w: F.xxhash64(w))
+            ).alias("simhash"),
+        ).collect()
+    }
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = int(sigs[a] ^ sigs[b])
+            ham = bin(x).count("1")
+            shares_chunk = any(
+                ((int(sigs[a]) >> (16 * c)) & 0xFFFF) == ((int(sigs[b]) >> (16 * c)) & 0xFFFF)
+                for c in range(4)
+            )
+            if ham <= 8 and shares_chunk:
+                lo, hi = sorted([a, b])
+                want.add((lo, hi, ham))
+    assert got == want and len(want) > 0
+
+
+def test_frame_sample_plumbing(spark):
+    """frame_sample: one row per sampled frame; deterministic fake decode
+    (ffmpeg absent); row count = Σ ceil(n_frames / every_n)."""
+    from parallel_dataflow_spark.operators.multimodal import (
+        _fake_frame_features,
+        frame_sample,
+    )
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(25)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "text")
+    )
+    rows = frame_sample(d.select("doc_id", "payload"), every_n=10).collect()
+    src = {r["doc_id"]: r["text"].encode() for r in d.collect()}
+    want_n = sum(len(range(0, 1 + len(p) // 256, 10)) for p in src.values())
+    assert len(rows) == want_n
+    for r in rows[:20]:
+        luma, ph = _fake_frame_features(src[r["doc_id"]], r["frame_idx"])
+        assert (round(r["mean_luma"], 6), r["phash16"]) == (luma, ph)
