@@ -1,0 +1,61 @@
+"""Determinism across parallelism levels (SURVEY.md §5 plan #1 — the
+direct heir of the reference's differential executor test, test.rs:21-70):
+the same query at local[8] and local[32] must produce identical canonical
+rows. The local[32] leg runs in a fresh subprocess (own JVM) so the two
+levels share nothing but the code and the input."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+QUERIES = [
+    "q1_pricing_summary",          # partial/final hash agg
+    "topk_orders_per_customer",    # window + sort tiebreaks
+    "events_session_5m",           # session windows
+    "dedup_minhash_lsh",           # pandas UDF + band join + dedup
+    "dataflow_reaching_defs_bril", # fixpoint over the real corpus
+]
+
+_PROBE = r"""
+import sys, json, hashlib
+sys.path.insert(0, "/root/repo")
+from parallel_dataflow_spark.session import get_spark
+from parallel_dataflow_spark.plans.registry import QUERIES
+
+spark = get_spark("det32", master="local[32]", shuffle_partitions=32)
+out = {}
+for name in json.loads(sys.argv[1]):
+    rows = sorted(tuple(str(x) for x in r) for r in QUERIES[name](spark, "/root/testdata/sf0.01").collect())
+    out[name] = hashlib.sha256(json.dumps(rows).encode()).hexdigest()
+print("RESULT " + json.dumps(out))
+"""
+
+
+@pytest.fixture(scope="module")
+def level32_hashes():
+    res = subprocess.run(
+        [sys.executable, "-c", _PROBE, json.dumps(QUERIES)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"level-32 probe failed: {res.stderr[-1500:]}")
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_identical_across_levels(spark, level32_hashes, name):
+    import hashlib
+
+    from parallel_dataflow_spark.plans.registry import QUERIES as REG
+
+    rows = sorted(
+        tuple(str(x) for x in r)
+        for r in REG[name](spark, "/root/testdata/sf0.01").collect()
+    )
+    h8 = hashlib.sha256(json.dumps(rows).encode()).hexdigest()
+    assert h8 == level32_hashes[name], f"{name}: local[8] != local[32]"
