@@ -51,6 +51,16 @@ TERMINATORS = {"br", "jmp", "ret"}
 # terminates here either; blog/blog.md:94 raises the termination question.
 # Corpus sweeps skip const_prop on these functions (rand16's body also
 # appears inside the multi-function file rand_multi_func/rand4.bril).
+#
+# The same non-monotonicity makes const_prop ORDER-SENSITIVE on further
+# fuzzed programs: rand20/25/27/35/40 converge under the FIFO schedule but
+# reach different fixpoints under an RPO-priority schedule, and the BSP
+# round schedule fails to converge on rand20 within 400 supersteps
+# (verified empirically). The reference's parallel executor has the same
+# round schedule and its differential test only demonstrably ran core/
+# (test.rs:73-74), where all four passes are schedule-robust — our
+# distributed-executor differentials for const_prop therefore run on
+# core/ (tests/test_bril_corpus.py), matching the reference's evidence.
 NON_TERMINATING_CONST_PROP = {
     "rand/rand16::main",
     "rand/rand48::main",

@@ -91,11 +91,15 @@ def test_across_functions_matches_golden_full_corpus(spark, corpus, pass_name):
 BSP_PROGS = ("core/gcd", "core/totient", "core/fizz-buzz")
 
 
-@pytest.mark.parametrize("pass_name", ["reaching_defs", "live_vars"])
+@pytest.mark.parametrize(
+    "pass_name", ["reaching_defs", "live_vars", "const_prop", "available_exprs"]
+)
 def test_bsp_matches_golden_core_sample(spark, corpus, pass_name):
     """BSP rounds (the reference's parallel executor) on real loopy core
-    programs — forward + backward. (BSP pays one Spark superstep per
-    round, so the corpus sample is small; fixtures cover the rest.)"""
+    programs — all four passes. (BSP pays one Spark superstep per round,
+    so the corpus sample is small; fixtures cover the rest. const_prop is
+    core/-only by necessity: its non-monotone transfer makes fuzzed
+    programs schedule-sensitive — see bril.py NON_TERMINATING_CONST_PROP.)"""
     bl, ed = corpus
     sel = bl.func_id.str.split("::").str[0].isin(BSP_PROGS)
     bl, ed = bl[sel], ed[ed.func_id.isin(bl[sel].func_id.unique())]

@@ -130,6 +130,51 @@ def test_stream_matcher_equals_batch(spark, cep_df, tmp_path):
     assert got == want
 
 
+def test_stream_matcher_out_of_order_arrival(spark, cep_df, tmp_path):
+    """Batching-independence: rows arrive SHUFFLED across micro-batches
+    (files split randomly, not by time; the far-future sentinel arrives
+    last). The buffer-until-watermark release must still feed the NFA in
+    (event_ts, checksum) order, so the match set equals the batch twin —
+    the streaming analogue of the reference's any-schedule-same-fixpoint
+    differential (test.rs:21-70). The 30-minute watermark exceeds the
+    non-sentinel span (~20 min), so no shuffled row is ever late."""
+    src = str(tmp_path / "cep_src_ooo")
+    os.makedirs(src)
+    rows = _rows()
+    body = [r for r in rows if r["doc_id"] != "sentinel"]
+    rng = np.random.default_rng(11)
+    order = rng.permutation(len(body))
+    shuffled = [body[i] for i in order]
+    chunks = np.array_split(np.arange(len(shuffled)), 3)
+    for i, idxs in enumerate(chunks):
+        pdf = pd.DataFrame([shuffled[j] for j in idxs])
+        pdf["event_ts"] = pdf["event_ts"].astype("datetime64[us]")
+        spark.createDataFrame(pdf, schema=SEQUENCE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"chunk={i:04d}"))
+    sent = pd.DataFrame([r for r in rows if r["doc_id"] == "sentinel"])
+    sent["event_ts"] = sent["event_ts"].astype("datetime64[us]")
+    spark.createDataFrame(sent, schema=SEQUENCE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "chunk=0003"))
+
+    from parallel_dataflow_spark.sources.sequences import read_sequence_stream
+
+    stream = read_sequence_stream(spark, src, max_files_per_trigger=1)
+    matches = match_pattern_stream(stream, PATTERN, watermark="30 minutes")
+    q = (
+        matches.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_ooo_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("select * from cep_ooo_out").collect())
+    assert got == golden_matches(_rows(), PATTERN)
+
+
 def test_stream_matcher_bounded_buffer(spark, cep_df, tmp_path):
     """max_buffer_rows caps per-key state by releasing the OLDEST overflow
     rows through the NFA early. With in-order arrival (files split by
