@@ -28,12 +28,13 @@ except Exception:
 
 def _fake_decode_features(payload: bytes) -> tuple[int, int, float]:
     """Deterministic fake 'decode': derive (width, height, mean_luma) from
-    a sha1 of the payload. Stands in for a real image decode; replace the
-    body with PIL when available."""
-    h = hashlib.sha1(payload).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    mean_luma = round(h[2] / 255.0, 6)
+    an md5 of the payload. Stands in for a real image decode (replace the
+    body with PIL when available); md5 keeps it DuckDB-replicable so the
+    driver oracle checks the whole plumbing end-to-end."""
+    h = hashlib.md5(payload).hexdigest()
+    width = 64 + int(h[0:2], 16) % 192
+    height = 64 + int(h[2:4], 16) % 192
+    mean_luma = round(int(h[4:6], 16) / 255.0, 6)
     return width, height, mean_luma
 
 
@@ -72,10 +73,11 @@ except Exception:
 
 def _fake_frame_features(payload: bytes, frame_idx: int) -> tuple[float, int]:
     """Deterministic fake per-frame 'decode': (mean_luma, phash16) derived
-    from sha1(payload || frame_idx). Replace with pyav frame extraction
-    when available (HAS_VIDEO_DECODERS)."""
-    h = hashlib.sha1(payload + frame_idx.to_bytes(4, "big")).digest()
-    return round(h[0] / 255.0, 6), int.from_bytes(h[1:3], "big")
+    from md5(payload || '-' || frame_idx) — string-keyed so a DuckDB
+    oracle reproduces it. Replace with pyav frame extraction when
+    available (HAS_VIDEO_DECODERS)."""
+    h = hashlib.md5(payload + b"-" + str(frame_idx).encode()).hexdigest()
+    return round(int(h[0:2], 16) / 255.0, 6), int(h[2:6], 16)
 
 
 def frame_sample(

@@ -802,12 +802,26 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_binary_meta")
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 192
+                AS INTEGER) AS width,
+           CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 192
+                AS INTEGER) AS height,
+           round(CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) / 255.0, 6)
+             AS mean_luma
+    FROM documents
+    """,
+)
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat a binary payload column as opaque bytes,
     extract typed metadata batch-wise (mapInPandas). The decode step is a
-    deterministic fake (real image/audio libs absent in this container) —
-    schema/partitioning/batch shape are the real, tested parts."""
+    deterministic md5-derived fake (real image/audio libs absent in this
+    container) — and because it's md5-derived, the DuckDB oracle replays
+    it exactly, hash-checking the whole Arrow-binary plumbing."""
     from parallel_dataflow_spark.operators.multimodal import binary_metadata
 
     d = _t(spark, sf_dir, "documents").select(
@@ -816,12 +830,29 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(d)
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+    ), fr AS (
+      SELECT doc_id, text, unnest(range(0, 1 + nb // 256, 10)) AS fi FROM f
+    )
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           round(CAST(concat('0x', substr(md5(text || '-' || fi), 1, 2)) AS INTEGER)
+                 / 255.0, 6) AS mean_luma,
+           CAST(concat('0x', substr(md5(text || '-' || fi), 3, 4)) AS INTEGER)
+             AS phash16
+    FROM fr
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over opaque binary payloads: one row per
     sampled frame (every 10th), mapInPandas over Arrow binary. Decode is a
-    deterministic fake (ffmpeg/pyav absent — HAS_VIDEO_DECODERS gates the
-    real path); the explosion/indexing/schema plumbing is real."""
+    deterministic md5-derived fake (ffmpeg/pyav absent —
+    HAS_VIDEO_DECODERS gates the real path); the DuckDB oracle replays the
+    fake, so the explosion/indexing/schema plumbing is hash-checked."""
     from parallel_dataflow_spark.operators.multimodal import frame_sample
 
     d = _t(spark, sf_dir, "documents").select(
