@@ -861,6 +861,103 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(d, every_n=10)
 
 
+# ---------------------------------------------------------------------------
+# SQL-API subquery surface: the SAME ANSI string runs on Spark (spark.sql
+# over temp views) and DuckDB — exercising Catalyst's subquery planning
+# (scalar subquery, correlated EXISTS, NOT IN), which the DataFrame
+# entries don't touch. Aggregates are integer counts so cross-engine
+# float-sum ordering cannot flip a row.
+# ---------------------------------------------------------------------------
+
+def _sql_query(sql: str, tables: tuple[str, ...]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            _t(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return q
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_EXISTS_SUBQ_SQL = """
+    SELECT n_nationkey, CAST(count(*) AS BIGINT) AS n_custs
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+      AND EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+"""
+
+_NOT_IN_SUBQ_SQL = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+_EXCEPT_SQL = """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 1000
+    ORDER BY custkey
+"""
+
+for _name, _sql, _tabs in (
+    ("scalar_subquery_above_avg", _SCALAR_SUBQ_SQL, ("orders",)),
+    ("exists_urgent_customers", _EXISTS_SUBQ_SQL, ("customer", "nation", "orders")),
+    ("not_in_negative_balance", _NOT_IN_SUBQ_SQL, ("orders", "customer")),
+    ("setop_urgent_minus_lowbal", _EXCEPT_SQL, ("orders", "customer")),
+):
+    _fn = _sql_query(_sql, _tabs)
+    _fn.__name__ = _name
+    _fn.__doc__ = (
+        "SQL-API subquery entry: identical ANSI text runs on Spark "
+        "(Catalyst subquery planning) and DuckDB (the oracle IS the "
+        "query string)."
+    )
+    register(_name, _sql)(_fn)
+
+
+@register(
+    "median_price_by_flag",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered-set aggregate (continuous percentile): Spark
+    `percentile()` == DuckDB `quantile_cont` — both exact linear
+    interpolation over the sorted values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register("running_doc_stats")
 def running_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the custom keyed stateful accumulator
