@@ -84,6 +84,39 @@ def bench_batch() -> dict[str, float]:
     return times
 
 
+def bench_dataflow() -> dict:
+    """The reference's perf protocol shape (impls/src/bin/perf.rs:30-38):
+    per pass, loadtime (parse + CFG build + materialize) and runtime
+    (fixpoint via the across-functions executor) over the real core/
+    corpus — ConstProp included here (cheap on core/; the reference
+    excludes it from perf because it's slow/oscillating on rand/)."""
+    import time as _t
+
+    from parallel_dataflow_spark.operators.fixpoint import SPECS, run_across_functions
+    from parallel_dataflow_spark.session import get_spark
+    from parallel_dataflow_spark.sources.bril import corpus_dataframes
+
+    spark = get_spark("bench_dataflow", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    t0 = _t.time()
+    blocks, edges = corpus_dataframes(spark, subdirs=("core",))
+    blocks.cache().count()
+    edges.cache().count()
+    load_sec = round(_t.time() - t0, 3)
+    runtimes = {}
+    for name in ("reaching_defs", "live_vars", "const_prop", "available_exprs"):
+        t0 = _t.time()
+        run_across_functions(blocks, edges, SPECS[name]).count()
+        runtimes[name] = round(_t.time() - t0, 3)
+    blocks.unpersist()
+    edges.unpersist()
+    return {
+        "corpus": "core/ (53 programs, 136 functions)",
+        "executor": "across_functions",
+        "loadtime_sec": load_sec,
+        "runtime_sec": runtimes,
+    }
+
+
 def stream_data_dir() -> str:
     from parallel_dataflow_spark.session import get_spark, stop_spark
     from parallel_dataflow_spark.sources.sequences import write_sequence_table
@@ -226,6 +259,7 @@ def bench_stream_subprocess(parallelism: int, data_dir: str) -> dict:
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     queries = bench_batch()
+    dataflow = bench_dataflow()
     data_dir = stream_data_dir()
 
     trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
@@ -290,7 +324,12 @@ def main() -> None:
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
         json.dump(
-            {"queries": queries, "streaming": streaming_detail, **streaming_summary},
+            {
+                "queries": queries,
+                "dataflow": dataflow,
+                "streaming": streaming_detail,
+                **streaming_summary,
+            },
             f,
             indent=1,
         )
@@ -301,6 +340,7 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "dataflow": dataflow,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming": {
             "input_rows": STREAM_ROWS,
