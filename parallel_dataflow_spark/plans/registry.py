@@ -936,25 +936,31 @@ for _name, _sql, _tabs in (
     "median_price_by_flag",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+           quantile_disc(l_extendedprice, 0.5) AS median_price,
+           quantile_disc(l_extendedprice, 0.9) AS p90_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
 )
 def median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ordered-set aggregate (continuous percentile): Spark
-    `percentile()` == DuckDB `quantile_cont` — both exact linear
-    interpolation over the sorted values."""
+    """Exact ordered-set aggregate: DISCRETE percentiles (Spark
+    `percentile_disc WITHIN GROUP` == DuckDB `quantile_disc`) — selected
+    values are actual data elements, so no cross-engine interpolation
+    ulp/rounding boundary exists (continuous percentile hit one: the
+    sf0.001 'R' median is a .245 half-case that rounds differently from
+    Spark's lo+frac*(hi-lo) vs DuckDB's interpolation order)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
-        )
-        .orderBy("l_returnflag")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS median_price,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
     )
 
 
