@@ -67,18 +67,20 @@ HEADLINE = [
 
 
 def bench_batch() -> dict[str, float]:
-    from parallel_dataflow_spark.plans.registry import QUERIES
+    from parallel_dataflow_spark.plans.registry import EXTRA_QUERIES, QUERIES
     from parallel_dataflow_spark.session import get_spark, stop_spark
+
+    queries = {**EXTRA_QUERIES, **QUERIES}
 
     spark = get_spark("bench_batch", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     # untimed warmup: fork python workers + JIT the scan path so the first
     # timed query doesn't absorb session startup
-    QUERIES["tokenize_documents"](spark, SF_DIR).count()
+    queries["tokenize_documents"](spark, SF_DIR).count()
     spark.range(0, 1_000_000, 1, CPUS).selectExpr("sum(id)").collect()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        QUERIES[name](spark, SF_DIR).count()
+        queries[name](spark, SF_DIR).count()
         times[name] = round(time.time() - t0, 3)
     stop_spark()
     return times

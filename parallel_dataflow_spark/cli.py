@@ -152,9 +152,9 @@ def main(argv: list[str] | None = None) -> int:
             for r in rows:
                 print(json.dumps(list(r)))
     elif args.cmd == "query":
-        from parallel_dataflow_spark.plans.registry import QUERIES
+        from parallel_dataflow_spark.plans.registry import EXTRA_QUERIES, QUERIES
 
-        df = QUERIES[args.name](spark, args.sf_dir)
+        df = {**EXTRA_QUERIES, **QUERIES}[args.name](spark, args.sf_dir)
         for r in df.limit(args.limit).collect():
             print(json.dumps([str(x) for x in r]))
     else:

@@ -27,6 +27,19 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(norm_text(text))
 
 
+def md5_60bit(col: Column) -> Column:
+    """60-bit non-negative integer hash from the first 15 hex chars of
+    md5 — the cross-engine hash used wherever a signature must be
+    oracle-replayable (DuckDB twin: ``CAST(concat('0x', substr(md5(x),
+    1, 15)) AS BIGINT)``). 15 hex chars = 60 bits keeps the value inside
+    a signed int64 on both engines. Hot production paths keep xxhash64
+    (cheaper, JVM-intrinsic); md5_60bit is the verification-grade variant."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MD5_60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
 def kgram_hashes(text: Column, k: int = 8) -> Column:
     """Rolling k-char-gram md5 hashes of the normalized text (empty array
     when shorter than k). md5 hex so a DuckDB oracle computes identical

@@ -37,6 +37,17 @@ def tokenize_text(text: Column, vocab: int = VOCAB) -> Column:
     return F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int"))
 
 
+def tokenize_text_md5(text: Column, vocab: int = VOCAB) -> Column:
+    """Oracle-checkable twin of ``tokenize_text``: word ids from the
+    cross-engine 60-bit md5 hash (functions.text.md5_60bit) instead of
+    xxhash64, so a DuckDB oracle reproduces the token stream exactly.
+    Same JVM-only shape; xxhash64 stays the hot-path default."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.transform(words, lambda w: (md5_60bit(w) % vocab).cast("int"))
+
+
 @F.pandas_udf(T.IntegerType())
 def top_token_udf(tokens: pd.Series) -> pd.Series:
     """Most frequent token id per row (ties → smallest id). Vectorized:

