@@ -527,6 +527,32 @@ def run_across_functions(
 # Executor 2: BSP rounds (impls/src/parallel.rs:14-91)
 # ---------------------------------------------------------------------------
 
+def _checkpoint_fresh_stats(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that does NOT carry the child plan's
+    estimated statistics forward.
+
+    Dataset.localCheckpoint copies the child's ESTIMATED stats into the
+    new LogicalRDD (originStats). In an iterative checkpoint chain that
+    compounds: round N's sizeInBytes is a ~6-join PRODUCT of round N-1's
+    (size-only join estimation multiplies children), so the BigInt bit
+    length grows ~6x per ROUND and by round ~10 the optimizer spends
+    minutes in BigInteger Toom-Cook multiplies inside
+    SizeInBytesOnlyStatsPlanVisitor — an exponential driver-side hang
+    with a constant-shape plan. Rebuilding the DataFrame from the
+    checkpointed RDD[InternalRow] (zero data movement, classic-mode
+    internal API) resets the leaf to default stats each round."""
+    ck = df.localCheckpoint()
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return type(ck)(fresh, spark)
+    except AttributeError:  # non-classic session: keep the plain checkpoint
+        return ck
+
+
 def run_bsp(
     blocks: DataFrame,
     edges: DataFrame,
@@ -656,8 +682,8 @@ def run_bsp(
                         & (F.col("n_out") != F.col("out_val"))
                     ).alias("chg"),
                 )
-                .localCheckpoint()
             )
+            merged = _checkpoint_fresh_stats(merged)
             state = merged.select("func_id", "block_id", "in_val", "out_val")
             # materialized per round: isEmpty() at the loop head and the
             # next superstep's joins would otherwise each re-run this
@@ -671,8 +697,8 @@ def run_bsp(
                 )
                 .select("func_id", F.col("dst").alias("block_id"))
                 .dropDuplicates(["func_id", "block_id"])
-                .localCheckpoint()
             )
+            frontier = _checkpoint_fresh_stats(frontier)
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -75,13 +75,21 @@ def run_cep_job(
     pattern: Pattern,
     watermark: str = "5 minutes",
     max_files_per_trigger: int = 2,
+    max_buffer_rows: int = 100_000,
+    overflow_acc=None,
 ) -> tuple[StreamingQuery, IdempotentKeyedSink]:
     sink = IdempotentKeyedSink(
         os.path.join(work_dir, "sink"),
         key_cols=["doc_id", "match_start_ts", "match_end_ts"],
     )
     stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
-    matches = match_pattern_stream(stream, pattern, watermark=watermark)
+    matches = match_pattern_stream(
+        stream,
+        pattern,
+        watermark=watermark,
+        max_buffer_rows=max_buffer_rows,
+        overflow_acc=overflow_acc,
+    )
     q = (
         matches.writeStream.outputMode("append")
         .foreachBatch(sink.foreach_batch())

@@ -159,3 +159,114 @@ def test_mixed_threshold_sweep(spark, corpus, threshold):
         for r in run_mixed(blocks, edges, SPECS["reaching_defs"], threshold=threshold).collect()
     )
     assert got == golden_rows(bl, ed, SPECS["reaching_defs"])
+
+
+# ---------------------------------------------------------------------------
+# ConstProp beyond core/: the transfer is NON-monotone (bril.py
+# NON_TERMINATING_CONST_PROP), so distributed-schedule coverage on fuzzed
+# programs must be scoped to where the BSP schedule provably converges.
+# The boundary is established by an exact pure-python simulation of
+# run_bsp's superstep semantics (same meet-sorted inputs, same
+# requeue-on-out-change rule), then one convergent program is run through
+# the REAL Spark BSP executor.
+# ---------------------------------------------------------------------------
+
+# classified by _bsp_schedule_sim below (asserted in the test): under the
+# BSP (jacobi-style) schedule these five rand_small programs converge to
+# the sequential-FIFO fixpoint; the other five oscillate — the same
+# schedule-sensitivity the reference inherits from its non-monotone
+# ConstProp transfer (passes/src/const_prop.rs:47-68)
+RAND_SMALL_CP_CONVERGENT = (
+    "rand_small/rand3",
+    "rand_small/rand4",
+    "rand_small/rand5",
+    "rand_small/rand6",
+    "rand_small/rand8",
+)
+RAND_SMALL_CP_OSCILLATING = (
+    "rand_small/rand0",
+    "rand_small/rand1",
+    "rand_small/rand2",
+    "rand_small/rand7",
+    "rand_small/rand9",
+)
+
+
+def _bsp_schedule_sim(fb: pd.DataFrame, fe: pd.DataFrame, spec, max_rounds=400):
+    """Pure-python replica of run_bsp's round semantics (fixpoint.py:
+    frontier -> meet(sorted pred outs) -> transfer -> requeue successors of
+    blocks whose OUT changed), cheap enough to sweep every program."""
+    import collections
+
+    from parallel_dataflow_spark.operators.fixpoint import _fargs_of, _norm_instr
+
+    state_out, state_in, instrs, entry, fargs = {}, {}, {}, {}, {}
+    preds = collections.defaultdict(list)
+    succs = collections.defaultdict(list)
+    for r in fb.itertuples():
+        k = (r.func_id, int(r.block_id))
+        fa = _fargs_of(r.fargs)
+        fargs[k] = fa
+        instrs[k] = [_norm_instr(i) for i in r.instrs]
+        entry[k] = r.block_id == 0
+        state_out[k] = spec.init_val(fa)
+        state_in[k] = spec.init_val(fa)
+    for r in fe.itertuples():
+        preds[(r.func_id, int(r.dst))].append((r.func_id, int(r.src)))
+        succs[(r.func_id, int(r.src))].append((r.func_id, int(r.dst)))
+    frontier = set(state_out)
+    n = 0
+    while frontier:
+        n += 1
+        if n > max_rounds:
+            return None
+        out_changed = set()
+        new = {}
+        for k in frontier:
+            iv = (
+                spec.entry_val(fargs[k])
+                if entry[k]
+                else spec.meet(sorted(state_out[p] for p in preds[k]))
+            )
+            ov = spec.transfer(k[1], instrs[k], iv)
+            new[k] = (iv, ov)
+            if ov != state_out[k]:
+                out_changed.add(k)
+        for k, (iv, ov) in new.items():
+            state_in[k] = iv
+            state_out[k] = ov
+        frontier = {s for k in out_changed for s in succs[k]}
+    return sorted((k[0], k[1], state_in[k], state_out[k]) for k in state_out)
+
+
+def test_const_prop_bsp_schedule_boundary_rand_small():
+    """Classifies ALL 10 rand_small programs under the exact BSP schedule:
+    the convergent five must reach the sequential-FIFO fixpoint; the other
+    five must provably oscillate (non-monotone transfer). Pins the
+    documented coverage boundary instead of just asserting it in prose."""
+    spec = SPECS["const_prop"]
+    bl, ed = corpus_frames("/root/reference", ("rand_small",))
+    for prog in RAND_SMALL_CP_CONVERGENT + RAND_SMALL_CP_OSCILLATING:
+        sel = bl.func_id.str.split("::").str[0].eq(prog)
+        fb = bl[sel]
+        fe = ed[ed.func_id.isin(fb.func_id.unique())]
+        res = _bsp_schedule_sim(fb, fe, spec)
+        if prog in RAND_SMALL_CP_CONVERGENT:
+            assert res is not None, f"{prog} should converge under BSP"
+            assert res == sorted(golden_rows(fb, fe, spec)), prog
+        else:
+            assert res is None, f"{prog} unexpectedly converged under BSP"
+
+
+def test_const_prop_bsp_spark_rand_small_convergent(spark, corpus):
+    """The REAL Spark BSP executor on a convergent fuzzed program
+    (rand_small/rand3, 13 rounds) — const_prop distributed-schedule
+    coverage beyond core/."""
+    bl, ed = corpus
+    sel = bl.func_id.str.split("::").str[0].eq("rand_small/rand3")
+    fb = bl[sel]
+    fe = ed[ed.func_id.isin(fb.func_id.unique())]
+    blocks = spark.createDataFrame(fb, schema=BLOCKS_SCHEMA)
+    edges = spark.createDataFrame(fe, schema=EDGES_SCHEMA)
+    got = sorted(tuple(r) for r in run_bsp(blocks, edges, SPECS["const_prop"]).collect())
+    assert got == golden_rows(fb, fe, SPECS["const_prop"])

@@ -196,8 +196,10 @@ def test_stream_matcher_bounded_buffer(spark, cep_df, tmp_path):
     # >1 row buffered, so the overflow path releases the oldest rows early;
     # the sentinel still watermark-flushes the tail, and with in-order
     # arrival the final match set is unchanged
+    overflow = spark.sparkContext.accumulator(0)
     matches = match_pattern_stream(
-        stream, PATTERN, watermark="1 minute", max_buffer_rows=1
+        stream, PATTERN, watermark="1 minute", max_buffer_rows=1,
+        overflow_acc=overflow,
     )
     q = (
         matches.writeStream.outputMode("append")
@@ -210,6 +212,9 @@ def test_stream_matcher_bounded_buffer(spark, cep_df, tmp_path):
     q.stop()
     got = sorted(tuple(r) for r in spark.sql("select * from cep_cap_out").collect())
     assert got == golden_matches(_rows(), PATTERN)
+    # the documented determinism degradation must be OBSERVABLE: the
+    # overflow accumulator counts rows released ahead of the watermark
+    assert overflow.value > 0
 
 
 def test_stream_stream_join(spark, tmp_path):
