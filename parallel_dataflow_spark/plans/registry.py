@@ -694,8 +694,15 @@ _JACCARD_ORACLE = """
 
 @register("dedup_ngram_jaccard", _JACCARD_ORACLE.format(band=50, thr=0.5))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs with lang+length blocking."""
-    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    """Exact word-3-gram Jaccard near-dup pairs (same-lang + length-band
+    policy), candidates generated by a banded minhash equi-join (64
+    bands x 2 rows) instead of a blocked all-pairs self-join — NO O(n²)
+    join anywhere in the plan. Verified with exact set-algebra Jaccard,
+    so the output equals the blocked-exact oracle (candidate recall at
+    the accepted pairs' jaccard levels is 1-1e-8 or better; the
+    all-pairs kernel survives as operators.dedup.jaccard_pairs for
+    pytest cross-checks)."""
+    return dd.jaccard_pairs_lsh(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 _MINHASH_ORACLE = """

@@ -106,3 +106,19 @@ def test_frame_sample_plumbing(spark):
     for r in rows[:20]:
         luma, ph = _fake_frame_features(src[r["doc_id"]], r["frame_idx"])
         assert (round(r["mean_luma"], 6), r["phash16"]) == (luma, ph)
+
+
+def test_jaccard_lsh_equals_all_pairs_kernel(spark):
+    """jaccard_pairs_lsh (banded minhash candidates + policy filter +
+    exact verify — no O(n²) join) must equal the blocked all-pairs
+    verification kernel jaccard_pairs on the same corpus: the LSH
+    candidate stage at (b=64, r=2) has ~1e-8 miss probability at the
+    t=0.5 operating point and the accepted pairs sit at jaccard ≥0.88."""
+    from parallel_dataflow_spark.operators.dedup import jaccard_pairs, jaccard_pairs_lsh
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = sorted(tuple(r) for r in jaccard_pairs_lsh(docs, threshold=0.5).collect())
+    want = sorted(tuple(r) for r in jaccard_pairs(docs, threshold=0.5).collect())
+    assert len(want) > 0
+    assert got == want
