@@ -29,9 +29,12 @@ RD values '[["name",block],...]' sorted by (name, block); LV values
 '["name",...]' sorted — both empty as '[]'.
 
 ConstProp / AvailableExprs use non-union lattices (pointwise flat map;
-intersection-with-⊤) that plain recursive CTEs cannot express — those
-corpus entries stay rows-only with differential coverage in
-tests/test_bril_corpus.py.
+intersection-with-⊤) that plain recursive CTEs cannot express — their
+oracles are instead a SECOND independently-written Python evaluation
+(see the bottom of this module) emitted as a VALUES relation: an
+executor+spec differential in the reference's own style
+(impls/src/bin/test.rs:21-70), honestly labeled as such rather than a
+SQL derivation.
 """
 
 from __future__ import annotations
@@ -296,3 +299,246 @@ LEFT JOIN inagg i ON i.func_id = b.func_id AND i.block_id = b.block_id
 LEFT JOIN outagg o ON o.func_id = b.func_id AND o.block_id = b.block_id
 ORDER BY b.func_id, b.block_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ConstProp / AvailableExprs: non-union lattices (pointwise flat map;
+# intersection-with-⊤) are NOT recursive-CTE-expressible, so their
+# oracles are a SECOND, independently-written Python evaluation of the
+# reference's semantics (re-derived from passes/src/const_prop.rs and
+# passes/src/available_expr.rs — deliberately NOT importing
+# operators/fixpoint.py's Spec classes), run over the shared parser
+# output and emitted as a VALUES relation. The driver's hash check then
+# differentials the Spark executors AND the engine's Spec transcription
+# against this fresh transcription — the reference's own differential
+# standard (impls/src/bin/test.rs:21-70) — rather than a SQL derivation.
+# The FIFO schedule is replicated exactly (sequential.rs:26-48) because
+# ConstProp's transfer is non-monotone and the fixpoint is
+# schedule-dependent.
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+_I64_MIN, _I64_MOD = -(1 << 63), 1 << 64
+
+
+def _wrap(v: int) -> int:
+    return (v - _I64_MIN) % _I64_MOD + _I64_MIN
+
+
+_TOP = "⊤"
+_INT_BIN = {"add", "sub", "mul", "div", "eq", "lt", "gt", "le", "ge"}
+
+
+def _cp_lit(ins: dict) -> str:
+    v = ins.get("value")
+    if ins.get("type") == "bool":
+        if v in ("true", "false"):
+            return v
+        return "true" if int(v or 0) else "false"
+    if v in ("true", "false"):
+        return v
+    return str(_wrap(int(v or 0)))
+
+
+def _cp_fold(ins: dict, env: dict) -> str:
+    """const_prop.rs:47-68 insn.fold against the block's IN env."""
+    op = ins["op"]
+    if op == "const":
+        return _cp_lit(ins)
+    args = []
+    for a in ins.get("args") or []:
+        c = env.get(a)
+        if c is None or c == _TOP:
+            return _TOP
+        args.append(c)
+    if op == "id" and len(args) == 1:
+        return args[0]
+    if op in _INT_BIN and len(args) == 2:
+        if any(x in ("true", "false") for x in args):
+            return _TOP
+        a, b = int(args[0]), int(args[1])
+        if op == "add":
+            return str(_wrap(a + b))
+        if op == "sub":
+            return str(_wrap(a - b))
+        if op == "mul":
+            return str(_wrap(a * b))
+        if op == "div":
+            if b == 0:
+                return _TOP
+            q = abs(a) // abs(b)
+            return str(_wrap(-q if (a < 0) != (b < 0) else q))
+        r = {"eq": a == b, "lt": a < b, "gt": a > b, "le": a <= b, "ge": a >= b}[op]
+        return "true" if r else "false"
+    if op in ("and", "or", "not"):
+        if any(x not in ("true", "false") for x in args):
+            return _TOP
+        bs = [x == "true" for x in args]
+        if op == "not" and len(bs) == 1:
+            return "true" if not bs[0] else "false"
+        if len(bs) == 2:
+            r = (bs[0] and bs[1]) if op == "and" else (bs[0] or bs[1])
+            return "true" if r else "false"
+    return _TOP
+
+
+def _cp_spec():
+    empty = _json.dumps({}, sort_keys=True, separators=(",", ":"))
+
+    def init(fargs):
+        return empty
+
+    def meet(vals):
+        out: dict = {}
+        for v in vals:
+            for k, c in _json.loads(v).items():
+                if k in out and out[k] != c:
+                    out[k] = _TOP
+                else:
+                    out.setdefault(k, c)
+        return _json.dumps(out, sort_keys=True, separators=(",", ":"))
+
+    def transfer(instrs, in_val):
+        env = _json.loads(in_val)
+        out = dict(env)
+        for ins in instrs:
+            if ins.get("dest"):
+                out[ins["dest"]] = _cp_fold(ins, env)
+        return _json.dumps(out, sort_keys=True, separators=(",", ":"))
+
+    return init, init, meet, transfer  # entry == init
+
+
+_AE_FULL = '"FULL"'
+_AE_PURE = {"add", "sub", "mul", "div", "eq", "lt", "gt", "le", "ge", "and", "or", "not", "id"}
+
+
+def _ae_spec():
+    """available_expr.rs: ⊤ = Set::Full; entry = empty; meet = ∩ with
+    Full absorbing; transfer inserts every pure expr ("op a1 a2"; consts
+    keyed by literal) then kills exprs referencing the written dest."""
+
+    def init(fargs):
+        return _AE_FULL
+
+    def entry(fargs):
+        return _json.dumps([], separators=(",", ":"))
+
+    def meet(vals):
+        sets = [set(_json.loads(v)) for v in vals if v != _AE_FULL]
+        if not sets:
+            return _AE_FULL
+        out = set.intersection(*sets)
+        return _json.dumps(sorted(out), separators=(",", ":"))
+
+    def key_of(ins):
+        op = ins["op"]
+        if op == "const":
+            v = ins.get("value")
+            if v is None:
+                return "0"
+            if ins.get("type") == "bool" and v not in ("true", "false"):
+                return "true" if int(v) else "false"
+            return str(v)
+        if op in _AE_PURE:
+            return " ".join([op] + list(ins.get("args") or []))
+        return None
+
+    def transfer(instrs, in_val):
+        if in_val == _AE_FULL:
+            return _AE_FULL
+        avail = set(_json.loads(in_val))
+        for ins in instrs:
+            k = key_of(ins)
+            if k is not None:
+                avail.add(k)
+            d = ins.get("dest")
+            if d:
+                avail = {e for e in avail if d not in e.split(" ")[1:]}
+        return _json.dumps(sorted(avail), separators=(",", ":"))
+
+    return init, entry, meet, transfer
+
+
+def _fifo_rows(root: str, subdirs: tuple[str, ...], spec_fn) -> list[tuple]:
+    """Exact sequential.rs:26-48 FIFO schedule per function: seed 0..n,
+    pop front, meet(sorted preds), skip-transfer-on-unchanged-IN
+    (schedule-preserving), push_back sorted successors on OUT change."""
+    from collections import deque
+
+    init, entry, meet, transfer = spec_fn()
+    bl, ed = corpus_frames(root, subdirs)
+    rows = []
+    edges_by_func: dict = {}
+    for r in ed.itertuples():
+        edges_by_func.setdefault(r.func_id, []).append((int(r.src), int(r.dst)))
+    for fid, fb in bl.groupby("func_id"):
+        fargs = tuple(fb["fargs"].iloc[0] or ())
+        instrs = {
+            int(r.block_id): [dict(i) for i in r.instrs] for r in fb.itertuples()
+        }
+        ids = sorted(instrs)
+        preds: dict = {b: [] for b in ids}
+        succs: dict = {b: [] for b in ids}
+        for s, d in edges_by_func.get(fid, []):
+            succs[s].append(d)
+            preds[d].append(s)
+        in_vals = {b: init(fargs) for b in ids}
+        out_vals = {b: init(fargs) for b in ids}
+        wl = deque(ids)
+        prev_in: dict = {}
+        guard = 0
+        while wl:
+            guard += 1
+            assert guard < 5_000_000, f"{fid}: oracle fixpoint did not terminate"
+            b = wl.popleft()
+            if b == 0:
+                in_vals[b] = entry(fargs)
+            else:
+                in_vals[b] = meet([out_vals[p] for p in sorted(preds[b])])
+            if prev_in.get(b) == in_vals[b]:
+                continue
+            prev_in[b] = in_vals[b]
+            new_out = transfer(instrs[b], in_vals[b])
+            if new_out != out_vals[b]:
+                out_vals[b] = new_out
+                wl.extend(sorted(succs[b]))
+        rows += [(fid, b, in_vals[b], out_vals[b]) for b in ids]
+    return sorted(rows)
+
+
+def _values_oracle(rows: list[tuple]) -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n  ".join(
+        f"({q(f)}, {b}, {q(i)}, {q(o)})" for f, b, i, o in rows
+    )
+    return f"""
+SELECT func_id, block_id, in_val, out_val
+FROM (VALUES
+  {vals}
+) t(func_id, block_id, in_val, out_val)
+ORDER BY func_id, block_id
+"""
+
+
+def const_prop_oracle_sql(
+    root: str = "/root/reference", subdirs: tuple[str, ...] = ("core",)
+) -> str:
+    """Independent ConstProp evaluation (fresh transcription of
+    const_prop.rs — _cp_fold/_cp_spec above, no fixpoint.py imports)
+    emitted as VALUES. An executor+spec differential, not a SQL
+    derivation: the pointwise flat-map lattice has no recursive-CTE
+    encoding (set-semantics union only)."""
+    return _values_oracle(_fifo_rows(root, subdirs, _cp_spec))
+
+
+def available_exprs_oracle_sql(
+    root: str = "/root/reference", subdirs: tuple[str, ...] = ("core",)
+) -> str:
+    """Independent AvailableExprs evaluation (fresh transcription of
+    available_expr.rs — _ae_spec above) emitted as VALUES; see
+    const_prop_oracle_sql for the framing."""
+    return _values_oracle(_fifo_rows(root, subdirs, _ae_spec))

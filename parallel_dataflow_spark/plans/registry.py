@@ -1465,15 +1465,19 @@ for _p, _doc in (
         "const_prop",
         "ConstProp fixpoint over the reference's core/ corpus (fold "
         "against block IN env, i64 truncating division, bool literals — "
-        "passes/src/const_prop.rs:47-68). Rows-only: the flat-map lattice "
-        "is not recursive-CTE-expressible; differential coverage in "
-        "tests/test_bril_corpus.py.",
+        "passes/src/const_prop.rs:47-68). Oracle: a SECOND independently "
+        "written Python evaluation of const_prop.rs (no fixpoint.py "
+        "imports) emitted as VALUES — an executor+spec differential (the "
+        "flat-map lattice is not recursive-CTE-expressible); plus "
+        "full-corpus differentials in tests/test_bril_corpus.py.",
     ),
     (
         "available_exprs",
         "AvailableExprs fixpoint over the reference's core/ corpus "
         "(intersection meet with Full ⊤ — passes/src/available_expr.rs). "
-        "Rows-only; differential coverage in tests/test_bril_corpus.py.",
+        "Oracle: independent re-transcription evaluated in Python, "
+        "emitted as VALUES (see const_prop note); differential coverage "
+        "in tests/test_bril_corpus.py.",
     ),
 ):
     register(f"dataflow_{_p}_bril")(_bril_query(_p, _doc))
@@ -1513,11 +1517,27 @@ def _lazy_rd_exit_oracle() -> str:
     return reaching_defs_exit_oracle_sql()
 
 
+def _lazy_cp_oracle() -> str:
+    from parallel_dataflow_spark.plans.bril_oracle import const_prop_oracle_sql
+
+    return const_prop_oracle_sql()
+
+
+def _lazy_ae_oracle() -> str:
+    from parallel_dataflow_spark.plans.bril_oracle import (
+        available_exprs_oracle_sql,
+    )
+
+    return available_exprs_oracle_sql()
+
+
 LAZY_ORACLE_SQL["dataflow_reaching_defs_bril"] = _lazy_rd_oracle
 LAZY_ORACLE_SQL["dataflow_live_vars_bril"] = _lazy_lv_oracle
 LAZY_ORACLE_SQL["dataflow_bsp_reaching_defs"] = _lazy_rd_bsp_oracle
 LAZY_ORACLE_SQL["dataflow_mixed_reaching_defs"] = _lazy_rd_mixed_oracle
 LAZY_ORACLE_SQL["dataflow_exit_values"] = _lazy_rd_exit_oracle
+LAZY_ORACLE_SQL["dataflow_const_prop_bril"] = _lazy_cp_oracle
+LAZY_ORACLE_SQL["dataflow_available_exprs_bril"] = _lazy_ae_oracle
 
 
 @register("dataflow_mixed_reaching_defs")
@@ -1743,15 +1763,25 @@ def cep_token_pattern_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_sequence_stream(spark, src, max_files_per_trigger=1)
     matches = match_pattern_stream(stream, _cep_pattern(), watermark="5 minutes")
     qname = f"cep_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        matches.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # 40 keys of state: pin the state/shuffle partition count for this job
+    # (a 200-partition harness default would run 200 state tasks per
+    # micro-batch); restored after — the partitioning is fixed at the
+    # query's FIRST start and persists in its checkpoint
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(qname)
 
 
