@@ -16,6 +16,11 @@ QUERIES = [
     "events_session_5m",           # session windows
     "dedup_minhash_lsh",           # pandas UDF + band join + dedup
     "dataflow_reaching_defs_bril", # fixpoint over the real corpus
+    "cep_token_pattern_stream",    # streaming NFA: keyed state, watermark
+                                   # release, sink read-back — the north
+                                   # rule's output-independent-of-
+                                   # parallelism property on the REAL
+                                   # streaming path
 ]
 
 _PROBE = r"""
