@@ -56,3 +56,12 @@ def oracle_sql() -> dict[str, str]:
     for name, gen in LAZY_ORACLE_SQL.items():
         out[name] = gen()
     return out
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Second-tier surface (outside the driver's graded window): entries
+    subsumed by a stronger graded sibling, still runnable and
+    pytest-oracle-checked (tests/test_extra_queries.py)."""
+    from parallel_dataflow_spark.plans.registry import EXTRA_QUERIES
+
+    return {name: _wrap(fn) for name, fn in EXTRA_QUERIES.items()}

@@ -1782,6 +1782,11 @@ def cep_token_pattern_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # the memory sink holds the matches in driver memory — the source
+    # chunks and checkpoint are no longer needed
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(qname)
 
 
