@@ -630,9 +630,14 @@ def run_bsp(
     old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(bsp_partitions))
     converged = False
+    # None until the first round; afterwards: the previous round's merged
+    # checkpoint, whose `chg` column drives the cheap convergence scan
+    merged = None
     try:
         for rnd in range(max_rounds):
-            if frontier.isEmpty():
+            # convergence: scan the checkpointed chg flags (no shuffle) —
+            # round 0 always runs (frontier = all blocks)
+            if merged is not None and merged.filter("chg").isEmpty():
                 converged = True
                 break
             # meet inputs: predecessors' out_vals of every frontier block
@@ -685,9 +690,14 @@ def run_bsp(
             )
             merged = _checkpoint_fresh_stats(merged)
             state = merged.select("func_id", "block_id", "in_val", "out_val")
-            # materialized per round: isEmpty() at the loop head and the
-            # next superstep's joins would otherwise each re-run this
-            # join+dedup shuffle
+            # next frontier: a lazy plan over the checkpointed merged —
+            # consumed exactly once (by the next round's joins inside the
+            # single checkpoint action), so it needs no materialization of
+            # its own; convergence is read off merged.chg instead. Two
+            # driver actions per superstep total (checkpoint + chg scan).
+            # Note: a changed block with NO successors yields chg rows but
+            # an empty frontier — the loop then runs one no-op round whose
+            # merged has chg all-false and stops; same fixpoint.
             frontier = (
                 edges.join(
                     merged.filter("chg").select(
@@ -698,12 +708,11 @@ def run_bsp(
                 .select("func_id", F.col("dst").alias("block_id"))
                 .dropDuplicates(["func_id", "block_id"])
             )
-            frontier = _checkpoint_fresh_stats(frontier)
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         binst.unpersist()
-    if not converged and not frontier.isEmpty():
+    if not converged and (merged is None or not merged.filter("chg").isEmpty()):
         raise RuntimeError(
             f"BSP fixpoint did not converge within {max_rounds} rounds "
             f"(pass={spec.name}) — raise max_rounds"
