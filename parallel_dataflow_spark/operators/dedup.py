@@ -63,15 +63,22 @@ def shingles_col(text, n: int = 3):
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup by normalized-text fingerprint: every doc mapped to its
     group's keeper (min doc_id) + group size. Downstream keeps rows where
-    doc_id == keeper. One shuffle on the fingerprint; the map side only
-    carries (hash, doc_id) — the cheapest dedup shape at 100 TB."""
+    doc_id == keeper. ONE shuffle on the fingerprint (whole-partition
+    window aggregates — the earlier groupBy+join shape shuffled the same
+    (hash, doc_id) payload twice); the map side only carries
+    (hash, doc_id) — the cheapest dedup shape at 100 TB."""
+    from pyspark.sql import Window
+
     fp = documents.select(
         fingerprint_md5(F.col("text")).alias("fingerprint"), F.col("doc_id")
     )
-    groups = fp.groupBy("fingerprint").agg(
-        F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper")
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("keeper"),
+        F.count("*").over(w).alias("n_dups"),
     )
-    return fp.join(groups, "fingerprint").select("doc_id", "fingerprint", "keeper", "n_dups")
 
 
 def jaccard_pairs(
