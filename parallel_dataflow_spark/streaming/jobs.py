@@ -13,9 +13,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from parallel_dataflow_spark.sources.sequences import read_sequence_stream
-from parallel_dataflow_spark.streaming.sink import IdempotentKeyedSink
 from parallel_dataflow_spark.streaming import windows as W
 from parallel_dataflow_spark.streaming.cep import Pattern, match_pattern_stream
+from parallel_dataflow_spark.streaming.sink import IdempotentKeyedSink
+
+
+def make_sink(
+    spark: SparkSession,
+    work_dir: str,
+    key_cols: list[str],
+    iceberg_table: str | None = None,
+):
+    """Sink selection for the deployable jobs: the north rule's
+    production sink is an Iceberg MERGE upsert (exactly-once via a
+    committed-batch ledger, streaming/iceberg_sink.py); this sandbox has
+    no Iceberg jars, so the default is the keyed idempotent parquet-epoch
+    sink (same duck-typed protocol, same exactly-once argument)."""
+    if iceberg_table is not None:
+        from parallel_dataflow_spark.streaming.iceberg_sink import (
+            IcebergMergeSink,
+            iceberg_available,
+        )
+
+        if iceberg_available(spark):
+            return IcebergMergeSink(iceberg_table, key_cols)
+    return IdempotentKeyedSink(os.path.join(work_dir, "sink"), key_cols=key_cols)
 
 
 def run_tumbling_job(
@@ -26,11 +48,13 @@ def run_tumbling_job(
     watermark: str = "5 minutes",
     max_files_per_trigger: int = 2,
     salt_buckets: int = 8,
+    iceberg_table: str | None = None,
 ) -> tuple[StreamingQuery, IdempotentKeyedSink]:
     """The flagship exactly-once job: per-(doc_id, window) token stats,
-    update-mode upserts into the keyed idempotent sink."""
-    sink = IdempotentKeyedSink(
-        os.path.join(work_dir, "sink"), key_cols=["doc_id", "window_start"]
+    update-mode upserts into the keyed sink (Iceberg MERGE when
+    ``iceberg_table`` is given and the runtime is present — make_sink)."""
+    sink = make_sink(
+        spark, work_dir, ["doc_id", "window_start"], iceberg_table
     )
     stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
     stream = W.salted_repartition(stream, "doc_id", salt_buckets)
@@ -77,10 +101,10 @@ def run_cep_job(
     max_files_per_trigger: int = 2,
     max_buffer_rows: int = 100_000,
     overflow_acc=None,
+    iceberg_table: str | None = None,
 ) -> tuple[StreamingQuery, IdempotentKeyedSink]:
-    sink = IdempotentKeyedSink(
-        os.path.join(work_dir, "sink"),
-        key_cols=["doc_id", "match_start_ts", "match_end_ts"],
+    sink = make_sink(
+        spark, work_dir, ["doc_id", "match_start_ts", "match_end_ts"], iceberg_table
     )
     stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
     matches = match_pattern_stream(
