@@ -379,8 +379,12 @@ def main(streaming_only: bool = False) -> None:
     # extra pairs keep coming while the bar is missed even when nothing is
     # flagged polluted. Every trial is recorded in bench_detail.json.
     extra_pairs = 0
-    while extra_pairs < MAX_EXTRA_PAIRS and (
-        paired_eff() < TARGET_EFF or not clean_levels()
+    stream_t0 = time.time()
+    budget_sec = float(os.environ.get("SPARK_GRAFT_STREAM_BUDGET", "1500"))
+    while (
+        extra_pairs < MAX_EXTRA_PAIRS
+        and time.time() - stream_t0 < budget_sec
+        and (paired_eff() < TARGET_EFF or not clean_levels())
     ):
         run_pair(TRIALS + extra_pairs)
         extra_pairs += 1
