@@ -114,7 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     q = sub.add_parser("query", help="run a registry query")
-    q.add_argument("--name", required=True)
+    q.add_argument("--name", default=None)
+    q.add_argument("--list", action="store_true",
+                   help="list registered queries (driver tier + extra tier)")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
 
@@ -124,6 +126,26 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--work", required=True)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and (args.list or args.name is None):
+        # listing needs no Spark session
+        from parallel_dataflow_spark.plans.registry import (
+            EXTRA_QUERIES,
+            LAZY_ORACLE_SQL,
+            ORACLE_SQL,
+            QUERIES,
+        )
+
+        for name in QUERIES:
+            o = (
+                "oracle"
+                if name in ORACLE_SQL or name in LAZY_ORACLE_SQL
+                else "rows-only"
+            )
+            print(json.dumps({"name": name, "tier": "driver", "check": o}))
+        for name in EXTRA_QUERIES:
+            print(json.dumps({"name": name, "tier": "extra", "check": "pytest"}))
+        return 0
 
     from parallel_dataflow_spark.session import get_spark
 

@@ -58,3 +58,19 @@ def test_stream_subcommand(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] > 0
+
+
+def test_cli_query_list(capsys):
+    """`query --list` enumerates both tiers without a Spark session."""
+    import json as _json
+
+    from parallel_dataflow_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    lines = [
+        _json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()
+    ]
+    drv = [r for r in lines if r["tier"] == "driver"]
+    extra = [r for r in lines if r["tier"] == "extra"]
+    assert len(drv) == 50 and len(extra) == 7
+    assert all(r["check"] == "oracle" for r in drv)  # round-3: all 50 oracled
