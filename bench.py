@@ -56,6 +56,12 @@ MAX_FILES_PER_TRIGGER = int(os.environ.get("SPARK_GRAFT_MFT", "32"))
 STEAL_BAD_SEC = float(os.environ.get("SPARK_GRAFT_STEAL_BAD", "20"))
 MAX_EXTRA_PAIRS = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_PAIRS", "3"))
 TARGET_EFF = 0.8
+# perf.rs runs 10 iterations per config (impls/src/bin/perf.rs:23-24); the
+# in-sandbox analogue is median-of-3 per headline query / dataflow pass —
+# a single sample on this burst-throttled host swings ±25-45% (see
+# BENCH/BASELINE.md), which round 3 learned the hard way on
+# dedup_minhash_lsh (4.7 -> 6.8 s between single-sample rounds)
+BATCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BATCH_TRIALS", "3"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -73,7 +79,13 @@ HEADLINE = [
 ]
 
 
-def bench_batch() -> dict[str, float]:
+def bench_batch() -> tuple[dict[str, float], dict]:
+    """Median-of-BATCH_TRIALS per headline query. Trials are full passes
+    over the query list (round-robin) so one host throttle burst pollutes
+    at most one sample of each query instead of all samples of one query;
+    per-pass /proc/stat steal deltas are recorded as evidence."""
+    import statistics
+
     from parallel_dataflow_spark.plans.registry import EXTRA_QUERIES, QUERIES
     from parallel_dataflow_spark.session import get_spark, stop_spark
 
@@ -84,13 +96,23 @@ def bench_batch() -> dict[str, float]:
     # timed query doesn't absorb session startup
     queries["tokenize_documents"](spark, SF_DIR).count()
     spark.range(0, 1_000_000, 1, CPUS).selectExpr("sum(id)").collect()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        queries[name](spark, SF_DIR).count()
-        times[name] = round(time.time() - t0, 3)
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    steal_per_pass: list[float] = []
+    for _ in range(BATCH_TRIALS):
+        s0 = _steal_sec()
+        for name in HEADLINE:
+            t0 = time.time()
+            queries[name](spark, SF_DIR).count()
+            trials[name].append(round(time.time() - t0, 3))
+        steal_per_pass.append(round(_steal_sec() - s0, 1))
     stop_spark()
-    return times
+    times = {name: round(statistics.median(v), 3) for name, v in trials.items()}
+    detail = {
+        "estimator": f"median of {BATCH_TRIALS} round-robin passes",
+        "trials": trials,
+        "host_steal_sec_per_pass": steal_per_pass,
+    }
+    return times, detail
 
 
 def bench_dataflow() -> dict:
@@ -105,24 +127,89 @@ def bench_dataflow() -> dict:
     from parallel_dataflow_spark.session import get_spark
     from parallel_dataflow_spark.sources.bril import corpus_dataframes
 
+    import statistics
+
     spark = get_spark("bench_dataflow", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     t0 = _t.time()
     blocks, edges = corpus_dataframes(spark, subdirs=("core",))
     blocks.cache().count()
     edges.cache().count()
     load_sec = round(_t.time() - t0, 3)
-    runtimes = {}
-    for name in ("reaching_defs", "live_vars", "const_prop", "available_exprs"):
-        t0 = _t.time()
-        run_across_functions(blocks, edges, SPECS[name]).count()
-        runtimes[name] = round(_t.time() - t0, 3)
+    # runtime: median-of-BATCH_TRIALS per pass, round-robin passes (same
+    # protocol as bench_batch; the cached corpus stays warm, so this
+    # measures the fixpoint, not the scan)
+    trials: dict[str, list[float]] = {
+        n: [] for n in ("reaching_defs", "live_vars", "const_prop", "available_exprs")
+    }
+    for _ in range(BATCH_TRIALS):
+        for name in trials:
+            t0 = _t.time()
+            run_across_functions(blocks, edges, SPECS[name]).count()
+            trials[name].append(round(_t.time() - t0, 3))
     blocks.unpersist()
     edges.unpersist()
     return {
         "corpus": "core/ (53 programs, 136 functions)",
         "executor": "across_functions",
         "loadtime_sec": load_sec,
-        "runtime_sec": runtimes,
+        "runtime_sec": {
+            n: round(statistics.median(v), 3) for n, v in trials.items()
+        },
+        "runtime_trials": trials,
+        "n_trials": BATCH_TRIALS,
+    }
+
+
+def bench_cep() -> dict:
+    """Production-shaped CEP run with the bounded-state overflow
+    accumulator attached: pattern job over a deterministic sequence table,
+    reporting cep_overflow_rows (the determinism-degradation counter —
+    0 in clean runs; nonzero means a hot key + stalled watermark forced
+    the oldest buffered rows out, streaming/cep.py) alongside throughput."""
+    from parallel_dataflow_spark.session import get_spark, stop_spark
+    from parallel_dataflow_spark.sources.sequences import write_sequence_table
+    from parallel_dataflow_spark.streaming.cep import Pattern
+    from parallel_dataflow_spark.streaming.jobs import run_cep_job
+
+    n_rows = int(os.environ.get("SPARK_GRAFT_CEP_ROWS", "100000"))
+    spark = get_spark("bench_cep", master=f"local[{CPUS}]", shuffle_partitions=8)
+    src = tempfile.mkdtemp(prefix="pds_bench_cep_src_")
+    work = tempfile.mkdtemp(prefix="pds_bench_cep_job_")
+    # event clock: rows_per_sec=100 makes 100k rows span ~17 min of event
+    # time — comfortably past the job's 5-minute watermark, so buffered
+    # rows actually release through the NFA (a table spanning less than
+    # the watermark would never emit anything)
+    write_sequence_table(spark, src, n_rows, seed=42, n_files=16, rows_per_sec=100)
+    acc = spark.sparkContext.accumulator(0)
+    # tokens are uniform over the 50257 vocab, so steps are 2000-id bands
+    # (~len/25 hit rate per row) — the run produces real matches rather
+    # than streaming an always-empty NFA
+    pattern = Pattern.of(
+        [list(range(0, 2000)), list(range(2000, 4000))], gap_seconds=600
+    )
+    t0 = time.time()
+    q, sink = run_cep_job(
+        spark,
+        src,
+        work,
+        pattern,
+        max_files_per_trigger=4,
+        overflow_acc=acc,
+    )
+    q.processAllAvailable()
+    q.stop()
+    elapsed = time.time() - t0
+    matches = sink.read(spark).count()
+    stop_spark()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "pattern": "[0..2000) -> [2000..4000) within 600s",
+        "input_rows": n_rows,
+        "matches": matches,
+        "elapsed_sec": round(elapsed, 2),
+        "rows_per_sec": round(n_rows / elapsed, 1),
+        "cep_overflow_rows": int(acc.value),
     }
 
 
@@ -318,15 +405,18 @@ def main(streaming_only: bool = False) -> None:
     if streaming_only:
         # cheap retry mode for the throttle-lottery host: reuse the last
         # recorded batch/dataflow sections, redo only the scaling trials
-        queries, dataflow = {}, {}
+        queries, queries_detail, dataflow = {}, {}, {}
         try:
             prev = json.load(open(os.path.join(REPO, "BENCH", "bench_detail.json")))
-            queries, dataflow = prev.get("queries", {}), prev.get("dataflow", {})
+            queries = prev.get("queries", {})
+            queries_detail = prev.get("queries_detail", {})
+            dataflow = prev.get("dataflow", {})
         except (OSError, ValueError):
             pass
     else:
-        queries = bench_batch()
+        queries, queries_detail = bench_batch()
         dataflow = bench_dataflow()
+    cep = bench_cep()
     data_dir = stream_data_dir()
 
     trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
@@ -458,6 +548,9 @@ def main(streaming_only: bool = False) -> None:
             f"local{LEVEL_4N}": sum(1 for t in trials[LEVEL_4N] if not t["polluted"]),
         },
         "extra_pairs_run": extra_pairs,
+        # bounded-state determinism-degradation counter from the CEP
+        # production-shaped run (0 = no overflow evictions)
+        "cep_overflow_rows": cep["cep_overflow_rows"],
     }
 
     detail_path = os.path.join(REPO, "BENCH", "bench_detail.json")
@@ -466,7 +559,9 @@ def main(streaming_only: bool = False) -> None:
         json.dump(
             {
                 "queries": queries,
+                "queries_detail": queries_detail,
                 "dataflow": dataflow,
+                "cep": cep,
                 "streaming": streaming_detail,
                 **streaming_summary,
             },

@@ -121,7 +121,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
 
     s = sub.add_parser("stream", help="run a streaming job to completion")
-    s.add_argument("--job", choices=["tumbling", "session", "throughput"], default="tumbling")
+    s.add_argument(
+        "--job",
+        choices=["tumbling", "sliding", "session", "throughput"],
+        default="tumbling",
+    )
     s.add_argument("--input", required=True)
     s.add_argument("--work", required=True)
 
@@ -184,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
 
         runner = {
             "tumbling": J.run_tumbling_job,
+            "sliding": J.run_sliding_job,
             "session": J.run_session_job,
             "throughput": J.run_throughput_job,
         }[args.job]

@@ -31,9 +31,18 @@ def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     At 100 TB the scan already has thousands of splits and repartitioning
     the raw text payload would be a multi-TB full shuffle — so this is
     gated on actual scan parallelism and becomes a no-op there."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
+    try:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        # .rdd forces a physical-plan conversion and is absent under Spark
+        # Connect — any failure here degrades to the repartition branch
+        # (correct everywhere, merely a wasted no-op exchange on an
+        # already-parallel scan)
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        n = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
@@ -287,16 +296,30 @@ def minhash_lsh_pairs(
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = 8, feature_hash: str = "xx64"
+    documents: DataFrame,
+    max_hamming: int = 8,
+    feature_hash: str = "xx64",
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, banded join on four 16-bit
-    chunks (a pair within hamming<=3 must agree on >=1 chunk; wider radii
-    verified exactly after the candidate join), hamming via bit_count(xor).
+    """SimHash near-dup pairs: 64-bit signature, banded join on
+    ``n_chunks`` near-equal contiguous bit chunks, hamming via
+    bit_count(xor) verified exactly on the candidates.
+
+    Pigeonhole recall bound: a pair within hamming <= n_chunks-1 differs
+    in fewer positions than there are chunks, so >=1 chunk matches and the
+    pair is GUARANTEED to surface as a candidate. For exact recall at
+    radius r choose n_chunks >= r+1 (e.g. 9 chunks for max_hamming=8); the
+    default 4x16-bit banding is exact only to hamming<=3 and an
+    approximation beyond (the graded dedup_simhash entry keeps that
+    operating point and its oracle checks the banded semantics —
+    plans/registry.py). More chunks = more candidates = a bigger verify
+    join; the dial trades recall for cost, as in MinHash banding.
 
     ``feature_hash``: 'xx64' (JVM xxhash64, hot-path default) or 'md5_60'
     (cross-engine 60-bit md5 — bits 60-63 of the signature are then always
     0 — so the DuckDB oracle replays signature + banding + hamming exactly;
     see plans/registry.py dedup_simhash)."""
+    assert 2 <= n_chunks <= 64, n_chunks
     if feature_hash == "md5_60":
         from parallel_dataflow_spark.functions.text import md5_60bit
 
@@ -307,13 +330,20 @@ def simhash_pairs(
         "doc_id", whash.alias("whash")
     ).withColumn("simhash", simhash64_udf(F.col("whash"))).persist()
 
+    # near-equal contiguous spans: chunk ci covers bits
+    # [64*ci//n, 64*(ci+1)//n) — for n_chunks=4 exactly the classic
+    # 16-bit chunks; masking keeps only real bits, so the arithmetic
+    # shiftright's sign-fill never leaks into a key
+    bounds = [(64 * ci // n_chunks, 64 * (ci + 1) // n_chunks) for ci in range(n_chunks)]
     chunks = F.array(
         *[
             F.struct(
                 F.lit(ci).alias("chunk"),
-                F.shiftright(F.col("simhash"), ci * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                .alias("ckey"),
             )
-            for ci in range(4)
+            for ci, (lo, hi) in enumerate(bounds)
         ]
     )
     banded = d.select(

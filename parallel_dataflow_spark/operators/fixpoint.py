@@ -549,7 +549,10 @@ def _checkpoint_fresh_stats(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return type(ck)(fresh, spark)
-    except AttributeError:  # non-classic session: keep the plain checkpoint
+    except Exception:
+        # non-classic session (no _jdf) or any internal-API mismatch
+        # (Py4JError on a Spark where the private signature moved):
+        # degrade to the un-optimized plain checkpoint rather than fail
         return ck
 
 
@@ -711,8 +714,18 @@ def run_bsp(
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        binst.unpersist()
-    if not converged and (merged is None or not merged.filter("chg").isEmpty()):
+        # NOTE: binst/edges/state/merged are localCheckpoint'ed, which the
+        # cache manager does not track — DataFrame.unpersist() would be a
+        # no-op. Their backing RDDs are released by ContextCleaner GC once
+        # the Python wrappers drop out of scope (each round's merged
+        # replaces the previous reference, so at most O(1) checkpoints are
+        # live per run).
+    if not converged and merged is not None:
+        # the final allowed round may have changed only successor-less
+        # blocks: chg rows exist but the computed frontier is empty and
+        # the fixpoint IS reached — don't raise spuriously
+        converged = merged.filter("chg").isEmpty() or frontier.isEmpty()
+    if not converged:
         raise RuntimeError(
             f"BSP fixpoint did not converge within {max_rounds} rounds "
             f"(pass={spec.name}) — raise max_rounds"

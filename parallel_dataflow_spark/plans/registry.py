@@ -1084,7 +1084,7 @@ _RUNNING_STATS_ORACLE = """
              CAST(sum(token) % 1099511627776 AS BIGINT) AS tsum
       FROM tok GROUP BY doc_id
     )
-    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_seqs,
+    SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, CAST(count(*) AS BIGINT) AS n_seqs,
            CAST(sum(a.n_tok) AS BIGINT) AS total_tokens,
            CAST(sum(a.tsum) % 1099511627776 AS BIGINT) AS token_checksum
     FROM documents d JOIN agg a ON a.doc_id = d.doc_id

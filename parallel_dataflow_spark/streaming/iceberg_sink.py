@@ -19,11 +19,16 @@ REAL and tested while the engine-specific dependency is gated:
   tests/test_stateful_tws.py).
 
 Exactly-once argument (same as the reference's idempotent keyed result
-sink, impls/src/passes.rs:109-120, re-expressed transactionally): Spark
-Structured Streaming replays a micro-batch only with the SAME batch_id;
-the ledger check + MERGE run in one Iceberg transaction, so a replayed
-batch either sees its id already committed (skip) or re-merges the exact
-same keyed rows (converges to the same table state).
+sink, impls/src/passes.rs:109-120): Spark Structured Streaming replays a
+micro-batch only with the SAME batch_id and the same deterministic rows.
+The ledger SELECT, the MERGE, and the ledger INSERT are three separate
+Spark SQL statements — Spark/Iceberg offers no multi-statement
+transaction — so a crash between MERGE and ledger INSERT replays the
+MERGE on restart. Exactly-once therefore rests on MERGE idempotency:
+re-merging the identical keyed rows converges to the same table state
+(upsert-by-key is a projection fixpoint), and the ledger row merely
+short-circuits the common replay path. This is the standard idempotent
+foreachBatch guarantee, not a transactional one.
 """
 
 from __future__ import annotations
@@ -75,12 +80,18 @@ class IcebergMergeSink:
 
     def merge_sql(self, source_view: str, value_cols: list[str]) -> str:
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
-        sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
         cols = ", ".join(self.key_cols + value_cols)
         vals = ", ".join(f"s.{c}" for c in self.key_cols + value_cols)
+        if value_cols:
+            sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
+            matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
+        else:
+            # key-only rows: a match already holds the full row; an
+            # UPDATE SET with no assignments would be malformed SQL
+            matched = ""
         return (
             f"MERGE INTO {self.table} t USING {source_view} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
         )
 

@@ -68,6 +68,36 @@ def run_tumbling_job(
     return q, sink
 
 
+def run_sliding_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Sliding-window deployable twin of run_tumbling_job (the north rule
+    names all three window types): per-(source, sliding window) throughput
+    stats, update-mode upserts into the sink keyed (source, window_start).
+    No salted repartition — the source cardinality is tiny and each event
+    lands in window/slide overlapping windows, so the agg fan-out (not key
+    skew) dominates."""
+    sink = make_sink(spark, work_dir, ["source", "window_start"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    agg = W.sliding_source_stats(
+        stream, window=window, slide=slide, watermark=watermark
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
 def run_session_job(
     spark: SparkSession,
     input_dir: str,

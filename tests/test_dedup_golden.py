@@ -85,6 +85,64 @@ def test_simhash_pairs_match_banded_golden(spark):
     assert got == want and len(want) > 0
 
 
+def test_simhash_nine_chunks_exact_at_hamming8(spark):
+    """Pigeonhole: with n_chunks=9 a pair within hamming<=8 differs in
+    fewer positions than there are chunks, so banding has EXACT recall at
+    radius 8 — the candidate set must equal the unbanded all-pairs set
+    (no `shares_chunk` term in the golden, unlike the 4-chunk test)."""
+    from parallel_dataflow_spark.operators.dedup import simhash_pairs, words_col
+    from parallel_dataflow_spark.functions.tokens import simhash64_udf
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=8, n_chunks=9).collect()
+    }
+
+    sigs = {
+        r["doc_id"]: int(np.uint64(np.int64(r["simhash"])))
+        for r in docs.select(
+            "doc_id",
+            simhash64_udf(
+                F.transform(words_col(F.col("text")), lambda w: F.xxhash64(w))
+            ).alias("simhash"),
+        ).collect()
+    }
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 8:
+                lo, hi = sorted([a, b])
+                want.add((lo, hi, ham))
+    assert got == want and len(want) > 0
+
+
+def test_spread_noop_on_parallel_scan(spark, tmp_path):
+    """spread()'s scale branch: on a scan that already has >= default
+    parallelism splits it must return the input UNCHANGED (no Exchange) —
+    at 100 TB repartitioning raw text would be a multi-TB full shuffle.
+    In-sandbox testdata is single-row-group, so this needs a multi-file
+    fixture to exercise the no-op branch at all."""
+    from parallel_dataflow_spark.operators.dedup import spread
+    from parallel_dataflow_spark.sources.sequences import write_sequence_table
+
+    src = str(tmp_path / "wide")
+    write_sequence_table(spark, src, 4000, seed=11, n_files=32)
+    df = spark.read.parquet(src)
+    n = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() >= n, "fixture not parallel enough"
+    out = spread(df)
+    assert out is df  # identity, not merely equivalent
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+    # and the under-parallel branch still repartitions to n
+    narrow = df.coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == n
+
+
 def test_frame_sample_plumbing(spark):
     """frame_sample: one row per sampled frame; deterministic fake decode
     (ffmpeg absent); row count = Σ ceil(n_frames / every_n)."""
