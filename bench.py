@@ -101,6 +101,14 @@ def bench_batch() -> tuple[dict[str, float], dict]:
     for _ in range(BATCH_TRIALS):
         s0 = _steal_sec()
         for name in HEADLINE:
+            # the dedup/ANN operators persist() signature frames
+            # (materialize-once within a query); Spark's cache manager
+            # matches by logical plan, so without clearing, a repeat
+            # trial of the same query silently reuses the cached
+            # signatures and measures nothing — clear so every trial
+            # does the full work (OS page cache stays warm, which is
+            # the legitimate warm-I/O baseline)
+            spark.catalog.clearCache()
             t0 = time.time()
             queries[name](spark, SF_DIR).count()
             trials[name].append(round(time.time() - t0, 3))

@@ -734,7 +734,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
 
 
-_SIMHASH_ORACLE = """
+# shared md5_60 signature derivation (DuckDB replay of
+# functions.tokens.simhash64_udf over md5_60bit word hashes)
+_SIMHASH_SIG_CTE = """
     WITH w AS (
       SELECT doc_id,
              unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS word
@@ -753,6 +755,9 @@ _SIMHASH_ORACLE = """
                   AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
     )
+"""
+
+_SIMHASH_ORACLE = _SIMHASH_SIG_CTE + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
@@ -776,6 +781,143 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by the numpy golden in tests/test_dedup_golden.py)."""
     return dd.simhash_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=8, feature_hash="md5_60"
+    )
+
+
+@register_extra(
+    "dedup_simhash_exact9",
+    _SIMHASH_SIG_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def dedup_simhash_exact9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-recall simhash configuration: 9 near-equal bit chunks are
+    pigeonhole-exact at hamming<=8 (a pair differing in <=8 bits cannot
+    touch all 9 chunks), so the DuckDB oracle is the UNBANDED all-pairs
+    hamming filter — a cross-engine proof that this banding loses nothing
+    at the configured radius (the numpy golden in tests/test_dedup_golden
+    pins the same property for the xx64 hot path). The graded
+    dedup_simhash entry keeps the cheaper 4-chunk operating point whose
+    oracle checks the banded (approximate) semantics."""
+    return dd.simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=8,
+        feature_hash="md5_60",
+        n_chunks=9,
+    )
+
+
+@register_extra(
+    "tfidf_top_terms",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM w WHERE word != '' GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w WHERE word != '' GROUP BY word
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf·idf (idf = ln(N/df)) — the classic term
+    weighting of a training-data quality pipeline, all JVM-side: two hash
+    aggs (tf per (doc,word), df per word), a broadcast of the single-row
+    corpus count, and a per-doc top-k window. Ties rank on the ROUNDED
+    score then word (both engines order identically). At 100 TB: the df
+    table is vocabulary-sized (small) — broadcast it; only the tf agg
+    shuffles document-volume data, once."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tf", "tfidf", "rank")
+    )
+
+
+@register_extra(
+    "top_bigrams",
+    """
+    WITH w AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+    ), b AS (
+      SELECT unnest(
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+             ) AS bigram
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams with occurrence counts (n-gram
+    statistics for tokenizer/contamination analysis). JVM higher-order
+    functions build per-row bigram lists (no UDF); ONE shuffle (the
+    count agg); top-20 runs as TakeOrderedAndProject, not a full sort.
+    Deterministic tie-break (count desc, bigram asc) on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ws")) - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i.cast("int")),
+            F.element_at(F.col("ws"), (i + 1).cast("int")),
+        ),
+    )
+    b = (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(grams).alias("bigram"))
+    )
+    return (
+        b.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
     )
 
 

@@ -126,6 +126,203 @@ def running_doc_stats_stream(stream: DataFrame, api: str = "auto") -> DataFrame:
     )
 
 
+_CEP_BUF_SCHEMA = "ts bigint, mask int, ck bigint"
+_CEP_PARTIAL_SCHEMA = "p_state int, p_start bigint, p_last bigint"
+
+
+class CepPatternProcessor(StatefulProcessor):
+    """TWS variant of the CEP buffer (streaming/cep.py): ListState for the
+    watermark-ordered row buffer, ListState for NFA partial matches, a
+    ValueState-tracked event-time timer for the gap-timeout flush. The NFA
+    itself is the SAME pure kernel (cep.advance_nfa) the apws path and the
+    batch twin run, so all three stay semantics-identical by construction.
+
+    Rows arrive pre-staged as (event_ts, mask, ck) — the step-membership
+    bitmask and release-order checksum are computed JVM-side before the
+    stateful stage (cep_prestage), so token arrays never enter the state
+    store (same at-scale rule as RunningDocStats).
+
+    Per batch: append new rows, release everything at-or-behind the
+    watermark through the NFA in strict (event_ts, ck) order, retain the
+    rest (bounded by max_buffer_rows with the same oldest-first overflow
+    release + accumulator as the apws kernel), and (re-)register one timer
+    at max(buffered horizon + gap, watermark)+1ms; the expired-timer hook
+    flushes the remaining buffer and expired partials."""
+
+    def __init__(self, pattern, max_buffer_rows: int = 100_000, overflow_acc=None):
+        self._pattern = pattern
+        self._max_buffer_rows = max_buffer_rows
+        self._overflow_acc = overflow_acc
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._buf = handle.getListState("cep_buffer", _CEP_BUF_SCHEMA)
+        self._partials = handle.getListState("cep_partials", _CEP_PARTIAL_SCHEMA)
+        self._timer = handle.getValueState("cep_timer", "t bigint")
+
+    def _advance(self, wm_us: int, new_rows: list, force_all: bool):
+        import numpy as np
+
+        from parallel_dataflow_spark.streaming.cep import advance_nfa
+
+        buf = [tuple(r) for r in (self._buf.get() if self._buf.exists() else [])]
+        buf.extend(new_rows)
+        p_state: list[int] = []
+        p_start: list[int] = []
+        p_last: list[int] = []
+        if self._partials.exists():
+            for s, st, lt in self._partials.get():
+                p_state.append(int(s))
+                p_start.append(int(st))
+                p_last.append(int(lt))
+
+        ts = np.array([r[0] for r in buf], dtype=np.int64)
+        mask = np.array([r[1] for r in buf], dtype=np.int32)
+        ck = np.array([r[2] for r in buf], dtype=np.int64)
+        if len(buf):
+            # strict (event_ts, checksum) release order — identical to the
+            # apws kernel and the batch twin's sort
+            order = np.lexsort((ck, ts))
+            ts, mask, ck = ts[order], mask[order], ck[order]
+
+        if force_all:
+            release = np.ones(len(ts), dtype=bool)
+        else:
+            release = ts <= wm_us
+            n_rem = int((~release).sum())
+            if n_rem > self._max_buffer_rows:
+                n_released = int(release.sum())
+                release = np.arange(len(ts)) < (len(ts) - self._max_buffer_rows)
+                if self._overflow_acc is not None:
+                    self._overflow_acc.add(int(release.sum()) - n_released)
+
+        matches = advance_nfa(
+            self._pattern, ts[release], mask[release], p_state, p_start, p_last
+        )
+
+        rem = ~release
+        self._buf.clear()
+        if rem.any():
+            self._buf.put(
+                [
+                    (int(a), int(b), int(c))
+                    for a, b, c in zip(ts[rem], mask[rem], ck[rem])
+                ]
+            )
+        self._partials.clear()
+        if p_state:
+            self._partials.put(
+                [
+                    (int(s), int(st), int(lt))
+                    for s, st, lt in zip(p_state, p_start, p_last)
+                ]
+            )
+
+        # ONE live timer per key: delete-then-register on horizon change
+        old = int(self._timer.get()[0]) if self._timer.exists() else None
+        if rem.any() or p_state:
+            horizon_us = max(
+                int(ts[rem].max()) if rem.any() else 0,
+                max(p_last) if p_last else 0,
+            )
+            t_ms = max(
+                horizon_us // 1000 + self._pattern.gap_seconds * 1000 + 1,
+                wm_us // 1000 + 1,
+            )
+            if old != t_ms:
+                if old is not None:
+                    self._handle.deleteTimer(old)
+                self._handle.registerTimer(t_ms)
+                self._timer.update((t_ms,))
+        else:
+            if old is not None:
+                self._handle.deleteTimer(old)
+            self._timer.clear()
+        return matches
+
+    @staticmethod
+    def _emit(key, matches):
+        if matches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": key[0],
+                    "match_start_ts": [m[0] for m in matches],
+                    "match_end_ts": [m[1] for m in matches],
+                    "n_steps": [m[2] for m in matches],
+                }
+            )
+
+    def handleInputRows(self, key, rows, timerValues):
+        new: list[tuple[int, int, int]] = []
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            ts = pdf["event_ts"].astype("datetime64[us]").astype("int64")
+            new.extend(
+                zip(
+                    ts.tolist(),
+                    pdf["mask"].astype("int64").tolist(),
+                    pdf["ck"].astype("int64").tolist(),
+                )
+            )
+        wm_us = max(timerValues.getCurrentWatermarkInMs(), 0) * 1000
+        yield from self._emit(key, self._advance(wm_us, new, force_all=False))
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # timer ts >= buffered horizon + gap, so at expiry the watermark
+        # has passed every buffered row: full flush (apws timed_out twin)
+        wm_us = max(timerValues.getCurrentWatermarkInMs(), 0) * 1000
+        yield from self._emit(key, self._advance(wm_us, [], force_all=True))
+
+    def close(self) -> None:
+        pass
+
+
+def cep_prestage(df: DataFrame, pattern) -> DataFrame:
+    """JVM-side pre-stage for CepPatternProcessor: per row, the NFA step
+    bitmask (bit i set iff tokens ∩ step_i ≠ ∅ — arrays_overlap against
+    the step's literal id set) and the cross-engine release-order checksum.
+    Token arrays die here; the stateful stage sees 3 small numerics."""
+    from parallel_dataflow_spark.streaming.cep import _ck_col, row_step_mask  # noqa: F401
+
+    mask = F.lit(0)
+    for i, step in enumerate(pattern.steps):
+        step_arr = F.array(*[F.lit(int(t)) for t in sorted(step)])
+        mask = mask + F.when(
+            F.arrays_overlap(F.col("tokens").cast("array<bigint>"), step_arr),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+    return df.select(
+        "doc_id",
+        "event_ts",
+        mask.cast("int").alias("mask"),
+        _ck_col(F.col("tokens")).alias("ck"),
+    )
+
+
+def match_pattern_stream_tws(
+    stream: DataFrame,
+    pattern,
+    watermark: str = "5 minutes",
+    max_buffer_rows: int = 100_000,
+    overflow_acc=None,
+) -> DataFrame:
+    """transformWithStateInPandas CEP path (needs protobuf — tws_available;
+    the apws engine in streaming/cep.py is the in-sandbox fallback with
+    identical semantics via the shared advance_nfa kernel)."""
+    from parallel_dataflow_spark.streaming.cep import MATCH_SCHEMA
+
+    src = cep_prestage(stream, pattern).withWatermark("event_ts", watermark)
+    return src.groupBy("doc_id").transformWithStateInPandas(
+        statefulProcessor=CepPatternProcessor(
+            pattern, max_buffer_rows=max_buffer_rows, overflow_acc=overflow_acc
+        ),
+        outputStructType=MATCH_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
 def running_doc_stats_batch(df: DataFrame) -> DataFrame:
     """Batch twin: one-shot groupBy fold — the differential golden."""
     return (

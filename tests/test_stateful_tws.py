@@ -46,17 +46,60 @@ class FakeValueState:
         self._v = None
 
 
+class FakeListState:
+    """pyspark.sql.streaming list_state_client contract: exists() /
+    get() -> Iterator[tuple] / put(list) / appendValue / appendList /
+    clear()."""
+
+    def __init__(self):
+        self._rows: list[tuple] = []
+
+    def exists(self) -> bool:
+        return bool(self._rows)
+
+    def get(self):
+        return iter(list(self._rows))
+
+    def put(self, rows) -> None:
+        assert isinstance(rows, list)
+        self._rows = [tuple(r) for r in rows]
+
+    def appendValue(self, row) -> None:
+        self._rows.append(tuple(row))
+
+    def appendList(self, rows) -> None:
+        self._rows.extend(tuple(r) for r in rows)
+
+    def clear(self) -> None:
+        self._rows = []
+
+
 class FakeHandle:
-    """StatefulProcessorHandle double: hands out named ValueStates and
-    records the schema the processor registered."""
+    """StatefulProcessorHandle double: hands out named Value/ListStates,
+    records registered schemas, and keeps a per-key timer registry with
+    registerTimer / deleteTimer / listTimers."""
 
     def __init__(self):
         self.states = {}
         self.schemas = {}
+        self.timers: set[int] = set()
 
     def getValueState(self, name, schema, ttl_duration_ms=None):
         self.schemas[name] = schema
         return self.states.setdefault(name, FakeValueState())
+
+    def getListState(self, name, schema, ttl_duration_ms=None):
+        self.schemas[name] = schema
+        return self.states.setdefault(name, FakeListState())
+
+    def registerTimer(self, expiry_ms: int) -> None:
+        self.timers.add(int(expiry_ms))
+
+    def deleteTimer(self, expiry_ms: int) -> None:
+        self.timers.discard(int(expiry_ms))
+
+    def listTimers(self):
+        return iter(sorted(self.timers))
 
 
 def _batches(seed: int = 3, n_batches: int = 4, rows_per_batch: int = 16):
@@ -136,6 +179,257 @@ def test_tws_state_persists_across_batches():
     (e2,) = list(proc.handleInputRows(("d",), iter([b2]), None))
     # checksum wraps mod 2^40
     assert tuple(e2.iloc[0][1:]) == (2, 15, (7 + _CHECKSUM_MOD - 3) % _CHECKSUM_MOD)
+
+
+US = 1_000_000
+
+
+def _drain(proc, doc, out_iter, emitted):
+    for out in out_iter:
+        emitted[doc].extend(
+            (int(r.match_start_ts), int(r.match_end_ts), int(r.n_steps))
+            for r in out.itertuples(index=False)
+        )
+
+
+def _run_mini_tws(rows, pattern, batch_size, wm_lag_us):
+    """Contract-faithful mini TWS runtime over the handle double: per
+    micro-batch, handleInputRows with the current watermark, then fire
+    expired event-time timers through handleExpiredTimer; a final
+    far-future watermark flushes every buffer (what a real stream's
+    later batches would do)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        TimerValues,
+    )
+
+    from parallel_dataflow_spark.streaming.stateful import CepPatternProcessor
+
+    handles: dict[str, FakeHandle] = {}
+    procs: dict[str, CepPatternProcessor] = {}
+
+    def proc_for(doc):
+        if doc not in procs:
+            handles[doc] = FakeHandle()
+            p = CepPatternProcessor(pattern)
+            p.init(handles[doc])
+            procs[doc] = p
+        return procs[doc]
+
+    emitted: dict[str, list] = {r[0]: [] for r in rows}
+
+    def fire_timers(wm_ms):
+        for doc, h in handles.items():
+            for t in list(h.listTimers()):
+                if t <= wm_ms:
+                    h.deleteTimer(t)  # the runtime removes a fired timer
+                    tv = TimerValues(-1, wm_ms)
+                    _drain(
+                        procs[doc],
+                        doc,
+                        procs[doc].handleExpiredTimer((doc,), tv, ExpiredTimerInfo(t)),
+                        emitted,
+                    )
+
+    max_ts = 0
+    for lo in range(0, len(rows), batch_size):
+        batch = rows[lo : lo + batch_size]
+        wm_ms = max(max_ts - wm_lag_us, 0) // 1000  # wm lags one batch
+        by_doc: dict[str, list] = {}
+        for doc, ts, mask, ck in batch:
+            by_doc.setdefault(doc, []).append((ts, mask, ck))
+            max_ts = max(max_ts, ts)
+        for doc, rs in by_doc.items():
+            pdf = pd.DataFrame(
+                {
+                    "event_ts": np.array([r[0] for r in rs], dtype="datetime64[us]"),
+                    "mask": [r[1] for r in rs],
+                    "ck": [r[2] for r in rs],
+                }
+            )
+            tv = TimerValues(-1, wm_ms)
+            _drain(
+                proc_for(doc),
+                doc,
+                proc_for(doc).handleInputRows((doc,), iter([pdf]), tv),
+                emitted,
+            )
+        fire_timers(wm_ms)
+    # end of stream: watermark sails past every horizon
+    fire_timers((max_ts + 3 * pattern.gap_seconds * US) // 1000)
+    for p in procs.values():
+        p.close()
+    return emitted, handles
+
+
+def _cep_rows(pattern, n=300, seed=11):
+    from parallel_dataflow_spark.streaming.cep import row_step_mask
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        doc = f"doc-{int(rng.integers(0, 3))}"
+        toks = rng.integers(0, 8, size=int(rng.integers(1, 5)))
+        ts = int(i * US + int(rng.integers(0, 1000)))
+        mask = int(row_step_mask(pd.Series([toks]), pattern)[0])
+        rows.append((doc, ts, mask, i))  # ck = i: unique tie-break
+    return rows
+
+
+def _cep_golden(rows, pattern):
+    from parallel_dataflow_spark.streaming.cep import advance_nfa
+
+    by_doc: dict[str, list] = {}
+    for doc, ts, mask, ck in rows:
+        by_doc.setdefault(doc, []).append((ts, mask, ck))
+    out = {}
+    for doc, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: (r[0], r[2]))
+        ms = advance_nfa(
+            pattern,
+            np.array([r[0] for r in rs], dtype=np.int64),
+            np.array([r[1] for r in rs], dtype=np.int32),
+            [],
+            [],
+            [],
+        )
+        out[doc] = sorted(ms)
+    return out
+
+
+def test_tws_cep_processor_matches_nfa_golden():
+    """CepPatternProcessor (ListState buffer + partials + event-time
+    timer) through the handle double == one-shot advance_nfa golden, and
+    the result is batching-independent (two different micro-batch splits
+    agree) — the same differential the apws engine passes."""
+    from parallel_dataflow_spark.streaming.cep import Pattern
+
+    pattern = Pattern.of([[1, 2], [3], [4, 5]], gap_seconds=60)
+    rows = _cep_rows(pattern)
+    golden = _cep_golden(rows, pattern)
+    assert sum(len(v) for v in golden.values()) > 0, "fixture produced no matches"
+
+    for batch_size in (50, 17):
+        emitted, handles = _run_mini_tws(rows, pattern, batch_size, wm_lag_us=30 * US)
+        for doc, want in golden.items():
+            assert sorted(emitted[doc]) == want, (batch_size, doc)
+        # buffers drained; only keys with live partials may hold a timer
+        for doc, h in handles.items():
+            if not h.states["cep_partials"].exists():
+                assert not h.timers, doc
+            assert not h.states["cep_buffer"].exists(), doc
+
+
+def test_tws_cep_bounded_state_overflow_counter():
+    """max_buffer_rows trips the oldest-first early release and counts the
+    overflow rows (same contract as the apws kernel's accumulator)."""
+    from pyspark.sql.streaming.stateful_processor import TimerValues
+
+    from parallel_dataflow_spark.streaming.cep import Pattern
+    from parallel_dataflow_spark.streaming.stateful import CepPatternProcessor
+
+    class CountingAcc:
+        def __init__(self):
+            self.value = 0
+
+        def add(self, n):
+            self.value += int(n)
+
+    pattern = Pattern.of([[1], [2]], gap_seconds=600)
+    acc = CountingAcc()
+    proc = CepPatternProcessor(pattern, max_buffer_rows=10, overflow_acc=acc)
+    h = FakeHandle()
+    proc.init(h)
+    # 25 rows all AHEAD of the watermark (wm=0): 15 oldest must release early
+    pdf = pd.DataFrame(
+        {
+            "event_ts": np.array(
+                [(i + 1000) * US for i in range(25)], dtype="datetime64[us]"
+            ),
+            "mask": [1] * 25,
+            "ck": list(range(25)),
+        }
+    )
+    list(proc.handleInputRows(("d",), iter([pdf]), TimerValues(-1, 0)))
+    assert acc.value == 15
+    assert len(list(h.states["cep_buffer"].get())) == 10
+
+
+def test_cep_prestage_mask_parity(spark):
+    """The JVM-side arrays_overlap bitmask == the python kernel's
+    row_step_mask on the same rows (the two stages must agree for the
+    TWS path to be semantics-identical to apws)."""
+    from parallel_dataflow_spark.sources.sequences import SEQUENCE_SCHEMA
+    from parallel_dataflow_spark.streaming.cep import Pattern, row_step_mask
+    from parallel_dataflow_spark.streaming.stateful import cep_prestage
+
+    pattern = Pattern.of([[1, 2], [3], [4, 5]], gap_seconds=60)
+    rng = np.random.default_rng(4)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i % 3}" for i in range(100)],
+            "tokens": [
+                [int(t) for t in rng.integers(0, 8, size=int(rng.integers(0, 5)))]
+                for _ in range(100)
+            ],
+            "n_tok": 0,
+            "source": "web",
+            "event_ts": [base + np.timedelta64(i, "s") for i in range(100)],
+        }
+    )
+    pdf["n_tok"] = pdf["tokens"].map(len)
+    df = spark.createDataFrame(pdf, schema=SEQUENCE_SCHEMA)
+    got = {
+        (r["doc_id"], r["event_ts"]): r["mask"]
+        for r in cep_prestage(df, pattern).collect()
+    }
+    want_mask = row_step_mask(pdf["tokens"], pattern)
+    for i, row in pdf.iterrows():
+        key = (row["doc_id"], row["event_ts"].to_pydatetime())
+        assert got[key] == int(want_mask[i]), key
+
+
+@pytest.mark.skipif(
+    not tws_available(), reason="google.protobuf absent: TWS transport unavailable"
+)
+def test_tws_cep_end_to_end_when_protobuf_present(spark, tmp_path):
+    """Real transformWithStateInPandas CEP run (skipped in-sandbox; green
+    on a full cluster image): match set == the batch twin's."""
+    from parallel_dataflow_spark.sources.sequences import (
+        read_sequence_stream,
+        write_sequence_table,
+    )
+    from parallel_dataflow_spark.streaming.cep import Pattern, match_pattern_batch
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+    from parallel_dataflow_spark.streaming.stateful import match_pattern_stream_tws
+
+    src = str(tmp_path / "tws_cep_src")
+    write_sequence_table(spark, src, 2000, seed=5, n_files=8, rows_per_sec=2)
+    pattern = Pattern.of(
+        [list(range(0, 2000)), list(range(2000, 4000))], gap_seconds=600
+    )
+    stream = read_sequence_stream(spark, src, 2)
+    out = match_pattern_stream_tws(stream, pattern, watermark="1 minute")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_cep_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = set(
+        map(tuple, spark.sql("select * from tws_cep_out").collect())
+    )
+    want = set(
+        map(
+            tuple,
+            match_pattern_batch(read_sequence_table(spark, src), pattern).collect(),
+        )
+    )
+    assert got <= want and len(got) > 0
 
 
 @pytest.mark.skipif(
