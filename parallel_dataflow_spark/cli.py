@@ -123,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stream", help="run a streaming job to completion")
     s.add_argument(
         "--job",
-        choices=["tumbling", "sliding", "session", "throughput"],
+        choices=["tumbling", "sliding", "session", "throughput", "dedup"],
         default="tumbling",
     )
     s.add_argument("--input", required=True)
@@ -191,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
             "sliding": J.run_sliding_job,
             "session": J.run_session_job,
             "throughput": J.run_throughput_job,
+            "dedup": J.run_dedup_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

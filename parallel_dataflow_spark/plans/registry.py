@@ -1936,6 +1936,259 @@ LAZY_ORACLE_SQL["cep_token_pattern"] = _cep_oracle_sql
 LAZY_ORACLE_SQL["cep_token_pattern_stream"] = _cep_oracle_sql
 
 
+# ---------------------------------------------------------------------------
+# Pipeline-completion tier: duplicate-cluster connected components,
+# repetition/quality filters, deterministic sampling, as-of join.
+# Extra tier (the driver's 50-entry graded window is full); same DuckDB
+# oracle parity via tests/test_extra_queries.py.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE pairs AS ("
+    + _JACCARD_ORACLE.format(band=50, thr=0.5)
+    + """
+    ), und AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM pairs
+      UNION
+      SELECT doc_b AS node, doc_a AS nbr FROM pairs
+    ), reach(node, r) AS (
+      SELECT node, nbr FROM und
+      UNION
+      SELECT u.node, r.r FROM und u JOIN reach r ON r.node = u.nbr
+    ), comp AS (
+      SELECT node, least(min(r), node) AS component FROM reach GROUP BY node
+    ), lab AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """
+)
+
+
+@register_extra("dedup_clusters", _CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup relation: every document mapped
+    to its duplicate-CLUSTER id (canonical min doc_id member) + cluster
+    size. Edges = the same jaccard-LSH pairs as dedup_ngram_jaccard;
+    components via O(log n)-round min-label propagation with pointer
+    jumping (operators/graph.py) — the label frame the loop shuffles is
+    two int64 columns, never text. Oracle: DuckDB recursive-CTE reachable
+    set + min aggregation (exact transitive closure)."""
+    from parallel_dataflow_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_lsh(docs, threshold=0.5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    lab = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+_REPETITION_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 4) AS dup_word_frac,
+           round(list_max(list_transform(list_distinct(ws),
+                     dw -> len(list_filter(ws, x -> x = dw))))::DOUBLE
+                 / len(ws), 4) AS top_word_frac,
+           round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                 / len(ws), 4) AS mean_word_len
+    FROM w
+"""
+
+
+@register_extra("quality_repetition", _REPETITION_ORACLE)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): duplicate
+    -word fraction, most-frequent-word fraction, mean word length. All
+    computed with JVM higher-order array functions IN the scan stage —
+    zero shuffle, zero Python; at 100 TB this is embarrassingly parallel
+    per-row compute, the ideal filter shape (the per-row O(n_words ·
+    n_distinct) top-word count is CPU traded for never exploding the
+    corpus into a word-level shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    w = dd.words_col(F.col("text"), distinct=False)
+    d = d.select("doc_id", w.alias("ws"))
+    ws = F.col("ws")
+    dist = F.array_distinct(ws)
+    n_words = F.size(ws)
+    top_cnt = F.array_max(
+        F.transform(dist, lambda dw: F.size(F.filter(ws, lambda x: x == dw)))
+    )
+    mean_len = (
+        F.aggregate(ws, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_words
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(F.lit(1.0) - F.size(dist).cast("double") / n_words, 4).alias(
+            "dup_word_frac"
+        ),
+        F.round(top_cnt.cast("double") / n_words, 4).alias("top_word_frac"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+    )
+
+
+_SAMPLE_ORACLE = """
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                              % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(sum(CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                               % 100 < 10 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS sample_frac
+    FROM documents
+    GROUP BY source
+"""
+
+
+@register_extra("sample_hash_stratified", _SAMPLE_ORACLE)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash Bernoulli sampling (keep iff
+    md5_60(text) mod 100 < 10 — replayable, seedless, stable across
+    reruns/cluster sizes, unlike df.sample) with per-source sample-rate
+    audit. At 100 TB the sample decision is scan-side and the shuffle
+    carries one row per source."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    d = _t(spark, sf_dir, "documents")
+    keep = F.when(F.pmod(md5_60bit(F.col("text")), F.lit(100)) < 10, 1).otherwise(0)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep).cast("long").alias("n_sampled"),
+        F.round(F.sum(keep).cast("double") / F.count("*"), 4).alias("sample_frac"),
+    )
+
+
+_ASOF_ORACLE = """
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcv,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pct
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           round(pcv, 4) AS prior_click_value,
+           CAST(floor(epoch(pct)) AS BIGINT) AS prior_click_epoch
+    FROM ordered WHERE event_type = 'purchase'
+"""
+
+
+@register_extra("events_asof_prior_click", _ASOF_ORACLE)
+def events_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each purchase event annotated with the
+    same user's most recent STRICTLY-PRIOR click (value + ts). Implemented
+    join-FREE: union-tag + one window pass (last ignorenulls over rows
+    unbounded-preceding..1-preceding) = a single shuffle on user_id —
+    the scale-optimal as-of shape (a time-range join would re-shuffle both
+    sides and explode candidates). Feature-engineering staple for
+    training-data pipelines."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pcv = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    pct = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            _epoch(F.col("ts")).alias("ts_epoch"),
+            F.round(pcv, 4).alias("prior_click_value"),
+            _epoch(pct).alias("prior_click_epoch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
+_PIPELINE_ORACLE = (
+    "WITH q AS ("
+    + ORACLE_SQL["quality_scores"]
+    + "), rep AS ("
+    + _REPETITION_ORACLE
+    + """
+    ), kp AS (
+      SELECT doc_id,
+             min(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ) AS keeper
+      FROM documents
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           q.quality, rep.dup_word_frac
+    FROM documents d
+    JOIN q USING (doc_id)
+    JOIN rep USING (doc_id)
+    JOIN kp USING (doc_id)
+    WHERE q.quality >= 0.25 AND rep.dup_word_frac <= 0.6 AND kp.keeper = d.doc_id
+    """
+)
+
+
+@register_extra("pipeline_clean_corpus", _PIPELINE_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end cleaning pipeline a training-data run actually
+    executes: quality-score gate + repetition gate + exact-dedup keeper,
+    composed into ONE plan. All gates are scan-side expressions; the only
+    shuffle is the dedup-keeper window on the content fingerprint — at
+    100 TB the whole pipeline is one pass + one (hash, doc_id) exchange,
+    which is the minimum any dedup-bearing pipeline can do."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    ws = dd.words_col(F.col("text"), distinct=False)
+    n_words = F.size(ws)
+    dup_frac = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n_words, 4
+    )
+    kw = W.partitionBy(tx.fingerprint_md5(F.col("text")))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            tx.quality_score_expr(F.col("text")).alias("quality"),
+            dup_frac.alias("dup_word_frac"),
+            F.min("doc_id").over(kw).alias("keeper"),
+        )
+        .filter(
+            (F.col("quality") >= 0.25)
+            & (F.col("dup_word_frac") <= 0.6)
+            & (F.col("keeper") == F.col("doc_id"))
+        )
+        .drop("keeper")
+    )
+
+
 def flagship_entry(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the token pipeline — tokenize documents (JVM hash
     tokenizer) → vectorized top-token UDF → per-(source, lang) token stats.
