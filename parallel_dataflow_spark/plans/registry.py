@@ -2189,6 +2189,51 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_ORACLE = """
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), tok AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) % 50257
+                  AS INTEGER) AS token
+      FROM w
+    ), freq AS (
+      SELECT token, count(*) AS c FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rnk
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(max(c) AS BIGINT) AS top_freq,
+           round(regr_slope(ln(c), ln(rnk)), 4) AS zipf_slope
+    FROM ranked
+"""
+
+
+@register_extra("token_zipf_slope", _ZIPF_ORACLE)
+def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency Zipf fit: log-log OLS slope of frequency vs
+    rank over the md5-tokenized corpus (a standard corpus-health
+    diagnostic — natural language sits near slope -1; heavily duplicated
+    or templated corpora skew steeper). Plan: scan-side tokenize+explode →
+    one hash-agg shuffle on token id → one rank sort of the (already
+    aggregated, vocab-bounded) frequency table → single-row regression
+    aggregate. The sort input is at most |vocab| rows regardless of corpus
+    size — the only full-data pass is the first aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(tokenize_text_md5(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    wr = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    ranked = freq.select("c", F.row_number().over(wr).alias("rnk"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_distinct_tokens"),
+        F.max("c").cast("long").alias("top_freq"),
+        F.round(F.regr_slope(F.log("c"), F.log("rnk")), 4).alias("zipf_slope"),
+    )
+
+
 def flagship_entry(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the token pipeline — tokenize documents (JVM hash
     tokenizer) → vectorized top-token UDF → per-(source, lang) token stats.
