@@ -123,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stream", help="run a streaming job to completion")
     s.add_argument(
         "--job",
-        choices=["tumbling", "sliding", "session", "throughput", "dedup"],
+        choices=["tumbling", "sliding", "session", "throughput", "dedup", "join"],
         default="tumbling",
     )
     s.add_argument("--input", required=True)
@@ -192,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
             "session": J.run_session_job,
             "throughput": J.run_throughput_job,
             "dedup": J.run_dedup_job,
+            "join": J.run_join_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

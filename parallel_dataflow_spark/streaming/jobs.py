@@ -153,6 +153,51 @@ def run_cep_job(
     return q, sink
 
 
+def run_join_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    input_dir_right: str | None = None,
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Stateful stream-stream join deployable (north rule): two watermarked
+    sequence streams (raw vs re-tokenized feeds; ``input_dir_right``
+    defaults to the same directory = self-join shape) inner-joined on
+    doc_id within ``max_delay``, append-mode into the sink keyed
+    (doc_id, left_ts, right_ts, left_ck, right_ck) — the per-side token
+    checksums are part of the key because hot doc_ids emit several
+    sequences in the same second, so timestamps alone are not a unique
+    pair id and an upsert on them would silently drop join rows. Both
+    sides carry watermarks so Spark evicts join state older than
+    watermark+interval — bounded state on an unbounded stream. The join
+    shuffles BOTH sides by doc_id; token payloads do ride this exchange
+    (the join verifies token-checksum equality), which is the inherent
+    cost of a content-comparing join."""
+    sink = make_sink(
+        spark,
+        work_dir,
+        ["doc_id", "left_ts", "right_ts", "left_ck", "right_ck"],
+        iceberg_table,
+    )
+    left = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    right = read_sequence_stream(
+        spark, input_dir_right or input_dir, max_files_per_trigger
+    )
+    joined = W.stream_stream_token_join(
+        left, right, watermark=watermark, max_delay=max_delay, include_checksums=True
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
 def run_dedup_job(
     spark: SparkSession,
     input_dir: str,

@@ -128,20 +128,20 @@ def stream_stream_token_join(
     right: DataFrame,
     watermark: str = "10 minutes",
     max_delay: str = "5 minutes",
+    include_checksums: bool = False,
 ) -> DataFrame:
     """Watermarked stream-stream inner join: sequences of the same doc_id
     arriving on two streams within ``max_delay`` of each other (e.g. raw vs
     re-tokenized feeds). Both sides carry watermarks so state is bounded —
-    Spark drops join state older than the watermark + interval."""
+    Spark drops join state older than the watermark + interval.
+
+    ``include_checksums`` additionally emits per-side token checksums —
+    needed when the output feeds a KEYED sink: (doc_id, left_ts, right_ts)
+    alone is NOT unique (hot doc_ids emit several sequences in the same
+    second), and upserting on a non-unique key silently drops join rows."""
     l = left.withWatermark("event_ts", watermark).alias("l")
     r = right.withWatermark("event_ts", watermark).alias("r")
-    return l.join(
-        r,
-        (F.col("l.doc_id") == F.col("r.doc_id"))
-        & (F.col("r.event_ts") >= F.col("l.event_ts"))
-        & (F.col("r.event_ts") <= F.col("l.event_ts") + F.expr(f"INTERVAL {max_delay}")),
-        "inner",
-    ).select(
+    cols = [
         F.col("l.doc_id").alias("doc_id"),
         F.col("l.event_ts").alias("left_ts"),
         F.col("r.event_ts").alias("right_ts"),
@@ -150,4 +150,16 @@ def stream_stream_token_join(
         ),
         F.col("l.n_tok").alias("n_tok_left"),
         F.col("r.n_tok").alias("n_tok_right"),
-    )
+    ]
+    if include_checksums:
+        cols += [
+            token_checksum(F.col("l.tokens")).alias("left_ck"),
+            token_checksum(F.col("r.tokens")).alias("right_ck"),
+        ]
+    return l.join(
+        r,
+        (F.col("l.doc_id") == F.col("r.doc_id"))
+        & (F.col("r.event_ts") >= F.col("l.event_ts"))
+        & (F.col("r.event_ts") <= F.col("l.event_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(*cols)
