@@ -21,18 +21,23 @@ QUERIES = [
                                    # rule's output-independent-of-
                                    # parallelism property on the REAL
                                    # streaming path
+    "dedup_clusters",              # iterative connected components: round
+                                   # count and label flow must not depend
+                                   # on partitioning (extra tier)
+    "pipeline_clean_corpus",       # composed filter+dedup-keeper plan
 ]
 
 _PROBE = r"""
 import sys, json, hashlib
 sys.path.insert(0, "/root/repo")
 from parallel_dataflow_spark.session import get_spark
-from parallel_dataflow_spark.plans.registry import QUERIES
+from parallel_dataflow_spark.plans.registry import QUERIES, EXTRA_QUERIES
+REG = {**QUERIES, **EXTRA_QUERIES}
 
 spark = get_spark("det32", master="local[32]", shuffle_partitions=32)
 out = {}
 for name in json.loads(sys.argv[1]):
-    rows = sorted(tuple(str(x) for x in r) for r in QUERIES[name](spark, "/root/testdata/sf0.01").collect())
+    rows = sorted(tuple(str(x) for x in r) for r in REG[name](spark, "/root/testdata/sf0.01").collect())
     out[name] = hashlib.sha256(json.dumps(rows).encode()).hexdigest()
 print("RESULT " + json.dumps(out))
 """
@@ -56,7 +61,9 @@ def level32_hashes():
 def test_query_identical_across_levels(spark, level32_hashes, name):
     import hashlib
 
-    from parallel_dataflow_spark.plans.registry import QUERIES as REG
+    from parallel_dataflow_spark.plans.registry import EXTRA_QUERIES, QUERIES as _Q
+
+    REG = {**_Q, **EXTRA_QUERIES}
 
     rows = sorted(
         tuple(str(x) for x in r)
