@@ -2234,6 +2234,82 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_LM_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    ), bgc AS (
+      SELECT bigram, count(*) AS c FROM bg GROUP BY bigram
+    ), uni AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, sum(c) AS cw FROM bgc GROUP BY w1
+    ), probs AS (
+      SELECT b.bigram, ln(b.c::DOUBLE / u.cw) AS lp
+      FROM bgc b JOIN uni u ON split_part(b.bigram, ' ', 1) = u.w1
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(p.lp), 4) AS avg_logprob
+    FROM bg JOIN probs p USING (bigram)
+    GROUP BY bg.doc_id
+"""
+
+
+@register_extra("bigram_logprob_docs", _BIGRAM_LM_ORACLE)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM perplexity signal: P(w2|w1) = c(w1 w2) /
+    c(w1 ·) estimated on the corpus itself, each doc scored by its mean
+    bigram log-probability (low = out-of-distribution / shuffled text —
+    a standard training-data quality filter). Plan: one explode pass →
+    bigram counts (shuffle 1, vocab²-bounded) → conditional probabilities
+    via a second vocab-bounded agg + broadcast-joinable model table →
+    score join back to doc bigrams (shuffle on bigram). The LM tables are
+    bounded by vocabulary size, NOT corpus size — at 100 TB the model
+    stays broadcast-sized while only the doc-bigram stream scales."""
+    d = _t(spark, sf_dir, "documents")
+    ws = dd.words_col(F.col("text"), distinct=False)
+    bg = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ws"), i.cast("int")),
+                        F.element_at(F.col("ws"), (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    uni = (
+        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c").alias("cw"))
+    )
+    probs = (
+        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(uni), "w1")
+        .select("bigram", F.log(F.col("c").cast("double") / F.col("cw")).alias("lp"))
+    )
+    return (
+        bg.join(F.broadcast(probs), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
 def flagship_entry(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the token pipeline — tokenize documents (JVM hash
     tokenizer) → vectorized top-token UDF → per-(source, lang) token stats.
