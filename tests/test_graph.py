@@ -69,3 +69,48 @@ def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(63)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_rounds=1)
+
+
+# --- property-based: random topologies vs a union-find golden ---------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+
+def _union_find_golden(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+if HAS_HYPOTHESIS:
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=0, max_value=40),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_random_graphs_match_union_find(spark, edges):
+        got = _cc(spark, [(int(a), int(b)) for a, b in edges])
+        assert got == _union_find_golden(edges)
