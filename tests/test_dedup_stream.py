@@ -74,3 +74,27 @@ def test_dedup_job_exactly_once_resume(spark, tmp_path):
     q3.processAllAvailable()
     q3.stop()
     assert canon(sink3.read(spark)) == want
+
+
+def test_dedup_stream_rocksdb_state_store(spark, tmp_path):
+    """Streaming dedup under the RocksDB state-store provider — the
+    at-scale backend for dropDuplicatesWithinWatermark's key store (the
+    HDFS-backed in-memory provider cannot hold 10^12 dedup keys)."""
+    src = _dup_source(spark, tmp_path, seed=17)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q, sink = run_dedup_job(spark, src, str(tmp_path / "rocks"))
+        q.processAllAvailable()
+        q.stop()
+        got = canon(sink.read(spark))
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    assert got == canon(_batch_golden(spark, src))
