@@ -123,7 +123,10 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stream", help="run a streaming job to completion")
     s.add_argument(
         "--job",
-        choices=["tumbling", "sliding", "session", "throughput", "dedup", "join"],
+        choices=[
+            "tumbling", "sliding", "session", "throughput", "dedup", "join",
+            "pipeline",
+        ],
         default="tumbling",
     )
     s.add_argument("--input", required=True)
@@ -193,6 +196,7 @@ def main(argv: list[str] | None = None) -> int:
             "throughput": J.run_throughput_job,
             "dedup": J.run_dedup_job,
             "join": J.run_join_job,
+            "pipeline": J.run_pipeline_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -346,6 +346,113 @@ def run_throughput_job(
     return q, sink
 
 
+def run_pipeline_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "2 hours",
+    min_tok: int = 8,
+    max_tok: int = 480,
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """The end-to-end training-data ingestion pipeline as ONE deployable
+    stream — the north star's composition, each stage individually
+    verified elsewhere:
+
+      sequence stream
+        → map-side fingerprint + length-gate (quality filter: sequences
+          outside [min_tok, max_tok] dropped scan-side, token arrays
+          projected away BEFORE any stateful exchange)
+        → streaming exact dedup (dropDuplicatesWithinWatermark — bounded
+          state, run_dedup_job's shape)
+        → tumbling per-(source, window) admission stats
+        → exactly-once keyed sink (Iceberg MERGE when available).
+
+    Output = per (source, window_start): sequences admitted, tokens
+    admitted — the bookkeeping table a 10^12-sequence ingestion run
+    publishes. Stage order matters at scale: the cheap stateless gate
+    runs first (scan-side, no state), dedup sees only survivors (smaller
+    key store), the agg sees only uniques.
+
+    Two stateful operators chained (dedup → windowed agg) requires
+    APPEND mode (Spark's multi-stateful-operator condition), so a
+    (source, window) row emits exactly once, when the watermark passes
+    the window end. Watermark subtlety worth knowing at deploy time:
+    although ``withWatermark`` is declared before the gate, Catalyst
+    PUSHES deterministic non-event-time predicates below the
+    EventTimeWatermark node (and into the scan), so gated-out rows do
+    NOT advance event time — a probe row meant to drain the window tail
+    must PASS the gate (tests use a far-future sentinel with an
+    identifiable source)."""
+    from pyspark.sql import functions as F
+
+    sink = make_sink(spark, work_dir, ["source", "window_start"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    gated = (
+        stream.withColumn("fingerprint", F.xxhash64("doc_id", "tokens"))
+        .withWatermark("event_ts", watermark)
+        .filter((F.col("n_tok") >= min_tok) & (F.col("n_tok") <= max_tok))
+        .select("doc_id", "fingerprint", "source", "n_tok", "event_ts")
+    )
+    uniq = gated.dropDuplicatesWithinWatermark(["doc_id", "fingerprint"])
+    agg = (
+        uniq.groupBy(F.window("event_ts", window).alias("w"), "source")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("n_tok").cast("long").alias("tokens_admitted"),
+        )
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "n_admitted",
+            "tokens_admitted",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_pipeline_golden(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "10 minutes",
+    min_tok: int = 8,
+    max_tok: int = 480,
+) -> DataFrame:
+    """Batch twin of run_pipeline_job (gate → distinct → window agg)."""
+    from pyspark.sql import functions as F
+
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    d = (
+        read_sequence_table(spark, input_dir)
+        .withColumn("fingerprint", F.xxhash64("doc_id", "tokens"))
+        .filter((F.col("n_tok") >= min_tok) & (F.col("n_tok") <= max_tok))
+        .select("doc_id", "fingerprint", "source", "n_tok", "event_ts")
+        .dropDuplicates(["doc_id", "fingerprint"])
+    )
+    return (
+        d.groupBy(F.window("event_ts", window).alias("w"), "source")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("n_tok").cast("long").alias("tokens_admitted"),
+        )
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "n_admitted",
+            "tokens_admitted",
+        )
+    )
+
+
 def batch_tumbling_golden(spark: SparkSession, input_dir: str, window: str = "10 minutes") -> DataFrame:
     """Batch twin of run_tumbling_job's aggregation (the differential
     golden; withWatermark is a no-op on batch DataFrames)."""
