@@ -2310,6 +2310,24 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra("sketch_events_stats")
+def sketch_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates per event_type: HyperLogLog++ distinct
+    users (`approx_count_distinct`, rsd 1%) and a t-digest-style median
+    (`percentile_approx`, accuracy 10000). Sketches are THE 100 TB
+    answer for cardinality/quantiles: mergeable fixed-size state (KB per
+    group) instead of exact distinct's per-key shuffle state. No SQL
+    oracle — sketch internals are engine-specific and not bit-replayable
+    in DuckDB; correctness is gated in pytest against the EXACT values
+    with the sketches' own error bounds (tests/test_sketch.py)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("approx_median"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def flagship_entry(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the token pipeline — tokenize documents (JVM hash
     tokenizer) → vectorized top-token UDF → per-(source, lang) token stats.

@@ -72,5 +72,5 @@ def test_cli_query_list(capsys):
     ]
     drv = [r for r in lines if r["tier"] == "driver"]
     extra = [r for r in lines if r["tier"] == "extra"]
-    assert len(drv) == 50 and len(extra) == 17
+    assert len(drv) == 50 and len(extra) == 18
     assert all(r["check"] == "oracle" for r in drv)  # round-3: all 50 oracled
