@@ -25,6 +25,8 @@ QUERIES = [
                                    # count and label flow must not depend
                                    # on partitioning (extra tier)
     "pipeline_clean_corpus",       # composed filter+dedup-keeper plan
+    "events_asof_prior_click",     # window-pass as-of join tie-breaks
+    "bigram_logprob_docs",         # two-level agg + broadcast LM join
 ]
 
 _PROBE = r"""
