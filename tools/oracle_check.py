@@ -5,7 +5,10 @@ Runs every ``queries()`` entry at a given sf_dir and compares against its
 and an order-insensitive value comparison (columns sorted by name, rows
 sorted, values normalized). Usage:
 
-    python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py [--extra] [sf_dir] [query ...]
+
+``--extra`` checks the EXTRA-tier entries (outside the driver's graded
+window) with the identical protocol instead of the graded tier.
 """
 
 from __future__ import annotations
@@ -47,13 +50,24 @@ def canon_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    extra = "--extra" in argv
+    argv = [a for a in argv if a != "--extra"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as drv
 
-    qs = drv.queries()
-    oracles = drv.oracle_sql()
+    if extra:
+        from parallel_dataflow_spark.plans.registry import (
+            EXTRA_ORACLE_SQL,
+            EXTRA_QUERIES,
+        )
+
+        qs, oracles = EXTRA_QUERIES, EXTRA_ORACLE_SQL
+    else:
+        qs = drv.queries()
+        oracles = drv.oracle_sql()
 
     spark = get_spark("oracle_check")
     con = duckdb.connect()
