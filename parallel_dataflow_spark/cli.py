@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
-            "pipeline",
+            "pipeline", "neardup",
         ],
         default="tumbling",
     )
@@ -197,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             "dedup": J.run_dedup_job,
             "join": J.run_join_job,
             "pipeline": J.run_pipeline_job,
+            "neardup": J.run_neardup_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -419,6 +419,46 @@ def run_pipeline_job(
     return q, sink
 
 
+def run_neardup_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    threshold: float = 0.7,
+    watermark: str = "10 minutes",
+    rep_ttl_ms: int = 3_600_000,
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming NEAR-duplicate flagging (streaming/neardup.py): every
+    arriving sequence verdicted against earlier arrivals via banded
+    minhash bucket owners + exact-Jaccard verification, per-doc fold
+    batch-local in foreachBatch (a sequence's band rows share its
+    micro-batch), exactly-once sink keyed (doc_id, event_ts, ck). The
+    online complement of the batch dedup_minhash_lsh pair finder."""
+    from parallel_dataflow_spark.streaming.neardup import (
+        fold_verdicts,
+        neardup_verdicts_stream,
+    )
+
+    sink = make_sink(spark, work_dir, ["doc_id", "event_ts", "ck"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    verdicts = neardup_verdicts_stream(
+        stream, watermark=watermark, rep_ttl_ms=rep_ttl_ms
+    )
+    inner = sink.foreach_batch()
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        inner(fold_verdicts(df, threshold), batch_id)
+
+    q = (
+        verdicts.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
 def batch_pipeline_golden(
     spark: SparkSession,
     input_dir: str,
