@@ -449,22 +449,30 @@ def bench_stream_subprocess(parallelism: int, data_dir: str) -> dict:
 
 def main(streaming_only: bool = False) -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    cep = pipeline = None
     if streaming_only:
-        # cheap retry mode for the throttle-lottery host: reuse the last
-        # recorded batch/dataflow sections, redo only the scaling trials
+        # cheap retry mode for the throttle-lottery host: reuse every
+        # previously recorded section (batch, dataflow, AND the cep/
+        # pipeline production runs), redo only the scaling trials — extra
+        # streaming jobs before the trials would load the host and can
+        # pollute the very samples the retry is meant to clean up
         queries, queries_detail, dataflow = {}, {}, {}
         try:
             prev = json.load(open(os.path.join(REPO, "BENCH", "bench_detail.json")))
             queries = prev.get("queries", {})
             queries_detail = prev.get("queries_detail", {})
             dataflow = prev.get("dataflow", {})
+            cep = prev.get("cep")
+            pipeline = prev.get("pipeline")
         except (OSError, ValueError):
             pass
     else:
         queries, queries_detail = bench_batch()
         dataflow = bench_dataflow()
-    cep = bench_cep()
-    pipeline = bench_pipeline()
+    if cep is None:
+        cep = bench_cep()
+    if pipeline is None:
+        pipeline = bench_pipeline()
     data_dir = stream_data_dir()
 
     trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}

@@ -69,10 +69,14 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the OLD label rides along so the convergence flag is computed in
+        # the same pass — a separate new-vs-old join per round would add a
+        # redundant whole-frame shuffle (the run_bsp chg-flag pattern)
         stepped = (
             lab.join(nmin, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
         )
@@ -80,22 +84,19 @@ def connected_components(
         jump = lab.select(
             F.col("node").alias("label"), F.col("label").alias("jump_label")
         )
+        final = F.least(F.col("label"), F.coalesce("jump_label", "label"))
         new_lab = (
             stepped.join(jump, "label", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("jump_label", "label")).alias("label"),
+                final.alias("label"),
+                (final != F.col("old_label")).alias("chg"),
             )
         )
         new_lab = _checkpoint_fresh_stats(new_lab)
-        changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        lab = new_lab
+        # no-shuffle convergence read off the checkpointed frame
+        changed = new_lab.filter("chg").limit(1).count()
+        lab = new_lab.select("node", "label")
         if changed == 0:
             return lab.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")

@@ -251,6 +251,19 @@ def match_pattern_stream(
             pattern, sorted_ts[release], sorted_mask[release], p_state, p_start, p_last
         )
 
+        # prune partials no future row can extend: rows still to come have
+        # ts > wm, and extension requires ts - p_last <= gap, so a partial
+        # with wm - p_last > gap is dead. Without this, a timed-out key
+        # with a leftover partial keeps its state and re-registers a wm+1
+        # timeout forever — unbounded state + a timer firing every
+        # watermark advance.
+        _gap_us = pattern.gap_seconds * 1_000_000
+        _live = [j for j in range(len(p_state)) if wm_us - p_last[j] <= _gap_us]
+        if len(_live) != len(p_state):
+            p_state[:] = [p_state[j] for j in _live]
+            p_start[:] = [p_start[j] for j in _live]
+            p_last[:] = [p_last[j] for j in _live]
+
         rem_ts = sorted_ts[~release]
         rem_mask = sorted_mask[~release]
         rem_ck = sorted_ck[~release]

@@ -171,6 +171,25 @@ def neardup_verdicts_stream(
     batch boundaries: within a bucket and batch, rows are processed in
     (event_ts, doc_id, ck) order; across batches, state is sequential."""
     pre = neardup_prestage(stream, num_hashes, bands, shingle_n)
+    # sequences too short to shingle can never match anything — verdict
+    # them STATELESSLY (band -1). Without this split every short row in
+    # the stream funnels into the SAME 32 bucket keys (the empty shingle
+    # set has one constant minhash signature): a permanent hot key in the
+    # state store processing pure can-never-match traffic.
+    long_rows = pre.filter(F.size("shash") > 0)
+    short_verdicts = (
+        pre.filter((F.size("shash") == 0) & (F.col("band") == 0))
+        .select(
+            "doc_id",
+            "event_ts",
+            "ck",
+            "n_tok",
+            F.lit(-1).cast("int").alias("band"),
+            F.lit(None).cast("string").alias("owner"),
+            F.lit(None).cast("long").alias("owner_ck"),
+            F.lit(0.0).alias("jaccard"),
+        )
+    )
 
     def kernel(key, pdf_iter, state):
         band, bhash = int(key[0]), int(key[1])
@@ -200,6 +219,13 @@ def neardup_verdicts_stream(
             if owner is None:
                 owner, owner_ck, owner_sh = str(r["doc_id"]), int(r["ck"]), sh
                 out.append((r["doc_id"], r["event_ts"], int(r["ck"]), int(r["n_tok"]), band, None, None, 0.0))
+            elif owner == str(r["doc_id"]) and owner_ck == int(r["ck"]):
+                # byte-identical REPLAY of the owner itself (at-least-once
+                # upstream): re-emit the claim verdict — without this the
+                # replay matches its own bucket at Jaccard 1.0 and the
+                # keyed sink upsert flips the original's is_dup=false row
+                # to "dup of itself"
+                out.append((r["doc_id"], r["event_ts"], int(r["ck"]), int(r["n_tok"]), band, None, None, 0.0))
             else:
                 jac = _jaccard(sh, owner_sh)
                 out.append(
@@ -219,8 +245,8 @@ def neardup_verdicts_stream(
             ],
         )
 
-    return (
-        pre.withWatermark("event_ts", watermark)
+    stateful = (
+        long_rows.withWatermark("event_ts", watermark)
         .groupBy("band", "bhash")
         .applyInPandasWithState(
             kernel,
@@ -230,6 +256,7 @@ def neardup_verdicts_stream(
             timeoutConf="EventTimeTimeout",
         )
     )
+    return stateful.unionByName(short_verdicts)
 
 
 def fold_verdicts(verdicts: DataFrame, threshold: float = 0.7) -> DataFrame:

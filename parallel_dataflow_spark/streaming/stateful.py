@@ -200,6 +200,17 @@ class CepPatternProcessor(StatefulProcessor):
             self._pattern, ts[release], mask[release], p_state, p_start, p_last
         )
 
+        # prune partials no future row can extend (future ts > wm and
+        # extension needs ts - p_last <= gap): otherwise an expired key
+        # whose partial survived advance_nfa re-registers a wm+1 timer
+        # forever — the timer storm / unbounded-state bug
+        _gap_us = self._pattern.gap_seconds * 1_000_000
+        _live = [j for j in range(len(p_state)) if wm_us - p_last[j] <= _gap_us]
+        if len(_live) != len(p_state):
+            p_state[:] = [p_state[j] for j in _live]
+            p_start[:] = [p_start[j] for j in _live]
+            p_last[:] = [p_last[j] for j in _live]
+
         rem = ~release
         self._buf.clear()
         if rem.any():

@@ -75,17 +75,23 @@ def _simulate(rows, file_to_batch):
     for key in sorted(seqs, key=lambda k: (seqs[k]["batch"], k[1], k[0], k[2])):
         doc, ts, ck = key
         sh = set(seqs[key]["shash"])
+        if not sh:
+            # too short to shingle: stateless verdict, claims no buckets
+            out[key] = (False, None, 0.0)
+            continue
         best = (0.0, None)
         for bk in seqs[key]["bands"]:
             if bk in owners:
-                o_doc, o_sh = owners[bk]
+                o_doc, o_ck, o_sh = owners[bk]
+                if o_doc == doc and o_ck == ck:
+                    continue  # byte-identical replay of the owner: claim
                 u = len(sh | o_sh)
                 jac = round(len(sh & o_sh) / u, 6) if u else 0.0
                 # fold tie-break: max (jaccard, owner)
                 if (jac, o_doc) > (best[0], best[1] or ""):
                     best = (jac, o_doc)
             else:
-                owners[bk] = (doc, sh)
+                owners[bk] = (doc, ck, sh)
         is_dup = best[0] >= THRESHOLD
         out[key] = (is_dup, best[1] if is_dup else None, best[0])
     return out
@@ -170,3 +176,23 @@ def test_neardup_job_exactly_once_resume(spark, tmp_path):
     q3.processAllAvailable()
     q3.stop()
     assert sorted(tuple(r) for r in sink3.read(spark).collect()) == want
+
+
+def test_neardup_replay_does_not_self_flag(spark, tmp_path):
+    """Byte-identical replays (at-least-once upstream: every file
+    duplicated) must NOT flip the original's verdict to 'dup of itself' —
+    regression for the owner-self-match bug caught by review."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    write_sequence_table(spark, src, 400, seed=47, n_files=2, rows_per_sec=2)
+    shutil.copytree(src, src + "/replay")
+    q, sink = run_neardup_job(spark, src, str(tmp_path / "work"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    rows = sink.read(spark).collect()
+    assert len(rows) > 0
+    self_flagged = [r for r in rows if r["dup_of"] == r["doc_id"]]
+    assert not self_flagged
+    # no near-dups planted: nothing may be flagged at all
+    assert not [r for r in rows if r["is_dup"]]

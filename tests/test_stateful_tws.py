@@ -457,3 +457,52 @@ def test_tws_end_to_end_when_protobuf_present(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("select count(*) from tws_out").collect()[0][0] > 0
+
+
+def test_tws_cep_dead_partial_cleared_at_expiry_no_timer_storm():
+    """A key whose only state is a partial that can never complete
+    (watermark passed p_last + gap) must be fully cleared at timer expiry
+    with NO re-registered timer. Regression: before the pruning fix the
+    partial survived advance_nfa (it only expires partials per released
+    row), so the key re-registered a wm+1 timer on every watermark
+    advance forever — unbounded state + timer storm."""
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        TimerValues,
+    )
+
+    from parallel_dataflow_spark.streaming.cep import Pattern
+    from parallel_dataflow_spark.streaming.stateful import CepPatternProcessor
+
+    pattern = Pattern.of([[1], [2]], gap_seconds=60)
+    proc = CepPatternProcessor(pattern)
+    h = FakeHandle()
+    proc.init(h)
+    # one row matching step 0 only, released immediately (wm == ts):
+    # leaves a partial at state 1, p_last = T
+    T_s = 1_000_000
+    pdf = pd.DataFrame(
+        {
+            "event_ts": np.array([T_s * US], dtype="datetime64[us]"),
+            "mask": [1],
+            "ck": [0],
+        }
+    )
+    out = list(proc.handleInputRows(("d",), iter([pdf]), TimerValues(-1, T_s * 1000)))
+    assert not out
+    assert h.states["cep_partials"].exists()
+    assert len(h.timers) == 1
+    t_ms = next(iter(h.timers))
+
+    # the timer fires once the watermark passed p_last + gap: the dead
+    # partial must be dropped, all state cleared, no new timer
+    h.deleteTimer(t_ms)  # the runtime removes a fired timer
+    out = list(
+        proc.handleExpiredTimer(
+            ("d",), TimerValues(-1, t_ms), ExpiredTimerInfo(t_ms)
+        )
+    )
+    assert not out
+    assert not h.states["cep_partials"].exists()
+    assert not h.states["cep_buffer"].exists()
+    assert not h.timers, "dead-partial key re-registered a timer (storm)"
