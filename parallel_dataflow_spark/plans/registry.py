@@ -921,6 +921,48 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_BIGRAM_ORACLE = """
+    WITH w AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+    ), b AS (
+      SELECT unnest(
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+             ) AS bigram
+      FROM w WHERE len(ws) >= 2
+    ), tot AS (SELECT count(*) AS n FROM b)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS share
+    FROM b GROUP BY bigram
+    HAVING count(*) >= 0.0015 * (SELECT n FROM tot)
+"""
+
+
+@register_extra("heavy_hitter_bigrams_mg", _HH_BIGRAM_ORACLE)
+def heavy_hitter_bigrams_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every word bigram with corpus share >= 0.15%, found with bounded
+    memory: per-partition Misra-Gries candidate summaries (no false
+    negatives for share >= theta) + exact recount of candidates only —
+    the long tail never shuffles (operators/heavy_hitters.py). The final
+    set is exact and partitioning-independent, so a plain GROUP BY/HAVING
+    oracle checks a partition-aware streaming-summary algorithm.
+    Differs from top_bigrams (exact global top-k, full-tail shuffle): this
+    is the shape that survives an unbounded n-gram key space at 100 TB."""
+    from parallel_dataflow_spark.operators.heavy_hitters import heavy_hitters_exact
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ws")) - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i.cast("int")),
+            F.element_at(F.col("ws"), (i + 1).cast("int")),
+        ),
+    )
+    b = d.select(ws.alias("ws")).filter(F.size("ws") >= 2).select(grams.alias("bigrams"))
+    return heavy_hitters_exact(b, "bigrams", theta=0.0015, key_alias="bigram")
+
+
 @register(
     "knn_cosine_top5",
     """
