@@ -62,6 +62,15 @@ TARGET_EFF = 0.8
 # BENCH/BASELINE.md), which round 3 learned the hard way on
 # dedup_minhash_lsh (4.7 -> 6.8 s between single-sample rounds)
 BATCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BATCH_TRIALS", "3"))
+# opt-in `--pipeline-scaling` mode: the COMPOSED ingestion pipeline
+# (gate → streaming dedup → windowed stats → exactly-once sink) measured
+# at both parallelism levels — evidence that the multi-stateful-operator
+# chain scales, not just the featurization kernel. Kept out of the
+# default per-round run (it doubles streaming wall time); results are
+# archived in BENCH/pipeline_scaling.json + BASELINE.md.
+PIPE_SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE_ROWS", "1000000"))
+PIPE_SCALE_FILES = 48
+PIPE_SCALE_MFT = 8
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -320,6 +329,80 @@ def _steal_sec() -> float:
     return int(parts[8]) / os.sysconf("SC_CLK_TCK")
 
 
+def _measured_run(start_fn):
+    """Run one streaming job to completion with a steal-timeline sampler.
+
+    ``start_fn() -> StreamingQuery``. Returns
+    ``(q, elapsed, cpu_used, steal_used, steal_between)`` where
+    ``steal_between(a, b)`` interpolates hypervisor steal over a wall
+    interval — this lets callers attribute steal to individual
+    micro-batches (the burst-throttled host often yields clean windows
+    inside an otherwise polluted run)."""
+    import threading
+
+    samples: list[tuple[float, float]] = [(time.time(), _steal_sec())]
+    stop_sampling = threading.Event()
+
+    def _sampler():
+        while not stop_sampling.wait(1.0):
+            samples.append((time.time(), _steal_sec()))
+
+    sampler = threading.Thread(target=_sampler, daemon=True)
+    sampler.start()
+    cpu0 = _proc_tree_cpu_sec()
+    steal0 = _steal_sec()
+
+    t0 = time.time()
+    q = start_fn()
+    q.processAllAvailable()
+    q.stop()
+    elapsed = time.time() - t0
+    stop_sampling.set()
+    samples.append((time.time(), _steal_sec()))
+    cpu_used = _proc_tree_cpu_sec() - cpu0
+    steal_used = _steal_sec() - steal0
+
+    def steal_between(ts_a: float, ts_b: float) -> float:
+        import numpy as _np
+
+        xs = _np.array([s[0] for s in samples])
+        ys = _np.array([s[1] for s in samples])
+        return float(_np.interp(ts_b, xs, ys) - _np.interp(ts_a, xs, ys))
+
+    return q, elapsed, cpu_used, steal_used, steal_between
+
+
+def _batch_rates(q, steal_between, rate_of) -> tuple[list[float], list[float]]:
+    """Steady-state per-batch rates (burst-throttle-resistant signal) and
+    the subset measured inside clean steal windows. ``rate_of(rows, dur)``
+    converts one micro-batch to the caller's rate unit."""
+    batch, clean = [], []
+    for p in q.recentProgress:
+        rows_b = p["numInputRows"]
+        dur = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        if rows_b > 0 and dur > 0:
+            r = rate_of(rows_b, dur)
+            batch.append(r)
+            # attribute steal to this batch's wall interval (progress
+            # timestamp = trigger START): a batch that ran inside a clean
+            # burst window is a valid scaling sample even when the run as
+            # a whole was throttled
+            try:
+                import datetime as _dt
+
+                ts = _dt.datetime.fromisoformat(
+                    p["timestamp"].replace("Z", "+00:00")
+                ).timestamp()
+                # ambient machine-wide steal on this VM idles at ~2-5%/s;
+                # throttle bursts run 50-300% — duration-scaled threshold
+                # separates the two cleanly
+                if steal_between(ts, ts + dur) < max(0.5, 0.08 * dur):
+                    clean.append(r)
+            except (ValueError, KeyError, TypeError):
+                pass
+    return batch, clean
+
+
 def stream_one(parallelism: int, data_dir: str) -> dict:
     """Runs in a fresh subprocess (see __main__ dispatch)."""
     from parallel_dataflow_spark.session import get_spark
@@ -346,72 +429,23 @@ def stream_one(parallelism: int, data_dir: str) -> dict:
     shutil.rmtree(warm_work, ignore_errors=True)
 
     work = tempfile.mkdtemp(prefix=f"pds_bench_job_{parallelism}_")
-    cpu0 = _proc_tree_cpu_sec()
-    steal0 = _steal_sec()
+    holder: dict = {}
 
-    # steal timeline sampler: lets us attribute hypervisor steal to
-    # individual micro-batches (the burst-throttled host often yields
-    # clean windows inside an otherwise polluted run)
-    import threading
+    def _start():
+        q, sink = run_throughput_job(
+            spark, data_dir, work, max_files_per_trigger=MAX_FILES_PER_TRIGGER
+        )
+        holder["sink"] = sink
+        return q
 
-    samples: list[tuple[float, float]] = [(time.time(), _steal_sec())]
-    stop_sampling = threading.Event()
-
-    def _sampler():
-        while not stop_sampling.wait(1.0):
-            samples.append((time.time(), _steal_sec()))
-
-    sampler = threading.Thread(target=_sampler, daemon=True)
-    sampler.start()
-
-    t0 = time.time()
-    q, sink = run_throughput_job(
-        spark, data_dir, work, max_files_per_trigger=MAX_FILES_PER_TRIGGER
-    )
-    q.processAllAvailable()
-    q.stop()
-    elapsed = time.time() - t0
-    stop_sampling.set()
-    samples.append((time.time(), _steal_sec()))
-    cpu_used = _proc_tree_cpu_sec() - cpu0
-    steal_used = _steal_sec() - steal0
-
-    def _steal_between(ts_a: float, ts_b: float) -> float:
-        import numpy as _np
-
-        xs = _np.array([s[0] for s in samples])
-        ys = _np.array([s[1] for s in samples])
-        return float(_np.interp(ts_b, xs, ys) - _np.interp(ts_a, xs, ys))
-    out = sink.read(spark)
+    q, elapsed, cpu_used, steal_used, steal_between = _measured_run(_start)
+    out = holder["sink"].read(spark)
     agg = out.groupBy().sum("total_tokens", "n_seqs").collect()[0]
     total_tokens, n_seqs = int(agg[0]), int(agg[1])
-    # steady-state per-batch throughput (burst-throttle-resistant signal):
-    # tokens are ~uniform per row, so prorate by rows per batch
-    batch_tps = []
-    clean_batch_tps = []
-    for p in q.recentProgress:
-        rows_b = p["numInputRows"]
-        dur = p["durationMs"].get("triggerExecution", 0) / 1000.0
-        if rows_b > 0 and dur > 0:
-            tps_b = round(rows_b / n_seqs * total_tokens / dur, 1)
-            batch_tps.append(tps_b)
-            # attribute steal to this batch's wall interval (progress
-            # timestamp = trigger START): a batch that ran inside a clean
-            # burst window is a valid scaling sample even when the run as
-            # a whole was throttled
-            try:
-                import datetime as _dt
-
-                ts = _dt.datetime.fromisoformat(
-                    p["timestamp"].replace("Z", "+00:00")
-                ).timestamp()
-                # ambient machine-wide steal on this VM idles at ~2-5%/s;
-                # throttle bursts run 50-300% — duration-scaled threshold
-                # separates the two cleanly
-                if _steal_between(ts, ts + dur) < max(0.5, 0.08 * dur):
-                    clean_batch_tps.append(tps_b)
-            except (ValueError, KeyError, TypeError):
-                pass
+    # tokens are ~uniform per row, so prorate tokens by rows per batch
+    batch_tps, clean_batch_tps = _batch_rates(
+        q, steal_between, lambda rows_b, dur: round(rows_b / n_seqs * total_tokens / dur, 1)
+    )
     shutil.rmtree(work, ignore_errors=True)
     return {
         "parallelism": parallelism,
@@ -432,6 +466,150 @@ def stream_one(parallelism: int, data_dir: str) -> dict:
         "effective_parallelism": round(cpu_used / elapsed, 2),
         "host_steal_sec": round(steal_used, 1),
     }
+
+
+def pipeline_data_dir() -> str:
+    from parallel_dataflow_spark.session import get_spark, stop_spark
+    from parallel_dataflow_spark.sources.sequences import write_sequence_table
+
+    d = os.path.join(tempfile.gettempdir(), f"pds_bench_pipesrc_{PIPE_SCALE_ROWS}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        spark = get_spark("bench_gen", master="local[8]", shuffle_partitions=8)
+        write_sequence_table(
+            spark, d, PIPE_SCALE_ROWS, seed=43, n_files=PIPE_SCALE_FILES,
+            rows_per_sec=400,
+        )
+        open(marker, "w").close()
+        stop_spark()
+    return d
+
+
+def pipeline_one(parallelism: int, data_dir: str) -> dict:
+    """One composed-pipeline run at one parallelism level; fresh
+    subprocess (see __main__ dispatch). Same measurement discipline as
+    stream_one: untimed warmup, fixed state/shuffle partitions at both
+    levels, per-batch steal attribution. Rate unit is input rows/sec
+    (the pipeline's own output is the admission bookkeeping table)."""
+    from parallel_dataflow_spark.session import get_spark
+    from parallel_dataflow_spark.sources.sequences import write_sequence_table
+    from parallel_dataflow_spark.streaming.jobs import run_pipeline_job
+
+    spark = get_spark(
+        f"bench_pipe_{parallelism}",
+        master=f"local[{parallelism}]",
+        shuffle_partitions=8,
+    )
+    warm_src = tempfile.mkdtemp(prefix="pds_pipewarm_src_")
+    warm_work = tempfile.mkdtemp(prefix="pds_pipewarm_job_")
+    write_sequence_table(spark, warm_src, 2000, seed=1, n_files=max(8, parallelism))
+    wq, _ = run_pipeline_job(
+        spark, warm_src, warm_work, watermark="5 minutes", max_files_per_trigger=64
+    )
+    wq.processAllAvailable()
+    wq.stop()
+    shutil.rmtree(warm_src, ignore_errors=True)
+    shutil.rmtree(warm_work, ignore_errors=True)
+
+    work = tempfile.mkdtemp(prefix=f"pds_bench_pipejob_{parallelism}_")
+    holder: dict = {}
+
+    def _start():
+        q, sink = run_pipeline_job(
+            spark, data_dir, work, watermark="5 minutes",
+            max_files_per_trigger=PIPE_SCALE_MFT,
+        )
+        holder["sink"] = sink
+        return q
+
+    q, elapsed, cpu_used, steal_used, steal_between = _measured_run(_start)
+    n_rows = sum(p["numInputRows"] for p in q.recentProgress)
+    batch, clean = _batch_rates(
+        q, steal_between, lambda rows_b, dur: round(rows_b / dur, 1)
+    )
+    out = holder["sink"].read(spark)
+    agg = out.groupBy().sum("n_admitted", "tokens_admitted").collect()[0]
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "parallelism": parallelism,
+        "elapsed_sec": round(elapsed, 2),
+        "rows": n_rows,
+        "rows_per_sec": round(n_rows / elapsed, 1),
+        "rows_admitted": int(agg[0] or 0),
+        "tokens_admitted": int(agg[1] or 0),
+        "batch_rows_per_sec": batch,
+        "best_batch_rows_per_sec": max(batch) if batch else 0.0,
+        "clean_batch_rows_per_sec": clean,
+        "best_clean_batch_rows_per_sec": max(clean) if clean else 0.0,
+        "cpu_sec": round(cpu_used, 1),
+        "effective_parallelism": round(cpu_used / elapsed, 2),
+        "host_steal_sec": round(steal_used, 1),
+    }
+
+
+def pipeline_scaling() -> None:
+    """Opt-in two-level scaling measurement of the composed pipeline
+    (`python bench.py --pipeline-scaling`). Same protocol as the default
+    streaming section: fresh subprocess per run, alternating level order,
+    cool-downs, steal-aware pollution flags, MEDIAN-of-clean estimator.
+    Writes BENCH/pipeline_scaling.json and prints one JSON line."""
+    import statistics
+
+    data_dir = pipeline_data_dir()
+    trials: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
+    for i in range(TRIALS):
+        order = (LEVEL_N, LEVEL_4N) if i % 2 == 0 else (LEVEL_4N, LEVEL_N)
+        for level in order:
+            time.sleep(COOLDOWN_SEC)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-one",
+                 str(level), data_dir],
+                capture_output=True, text=True, timeout=1800,
+            )
+            r = None
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    r = json.loads(line)
+                    break
+            if r is None:
+                raise RuntimeError(f"pipeline bench failed: {out.stderr[-2000:]}")
+            r["polluted"] = r["host_steal_sec"] > STEAL_BAD_SEC
+            trials[level].append(r)
+
+    def med_clean(level: int, key: str) -> float:
+        clean = [t for t in trials[level] if not t["polluted"]]
+        return statistics.median(t[key] for t in (clean or trials[level]))
+
+    def eff(key: str) -> float:
+        return round(med_clean(LEVEL_4N, key) / med_clean(LEVEL_N, key) / 4.0, 3)
+
+    summary = {
+        "job": "composed ingestion pipeline (gate -> streaming exact dedup "
+               "-> tumbling (source,window) admission stats -> exactly-once "
+               "sink)",
+        "input_rows": PIPE_SCALE_ROWS,
+        "levels_compared": [LEVEL_N, LEVEL_4N],
+        "max_files_per_trigger": PIPE_SCALE_MFT,
+        "median_rows_per_sec": {
+            f"local{LEVEL_N}": round(med_clean(LEVEL_N, "rows_per_sec"), 1),
+            f"local{LEVEL_4N}": round(med_clean(LEVEL_4N, "rows_per_sec"), 1),
+        },
+        "scaling_efficiency_wall": eff("rows_per_sec"),
+        "scaling_efficiency_steady_state_batch": eff("best_batch_rows_per_sec"),
+        "scaling_efficiency_effective_parallelism": eff("effective_parallelism"),
+        "host_steal_sec_max": max(
+            t["host_steal_sec"] for lv in trials.values() for t in lv
+        ),
+        "clean_runs": {
+            f"local{LEVEL_N}": sum(1 for t in trials[LEVEL_N] if not t["polluted"]),
+            f"local{LEVEL_4N}": sum(1 for t in trials[LEVEL_4N] if not t["polluted"]),
+        },
+        "levels": {str(k): v for k, v in trials.items()},
+    }
+    with open(os.path.join(REPO, "BENCH", "pipeline_scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "levels"}))
 
 
 def bench_stream_subprocess(parallelism: int, data_dir: str) -> dict:
@@ -684,5 +862,9 @@ def main(streaming_only: bool = False) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--stream-one":
         print(json.dumps(stream_one(int(sys.argv[2]), sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pipeline-one":
+        print(json.dumps(pipeline_one(int(sys.argv[2]), sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pipeline-scaling":
+        pipeline_scaling()
     else:
         main(streaming_only="--streaming-only" in sys.argv[1:])
