@@ -963,6 +963,146 @@ def heavy_hitter_bigrams_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(b, "bigrams", theta=0.0015, key_alias="bigram")
 
 
+_DECONTAM_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, source, ws FROM (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\\s+') AS ws
+        FROM documents
+      ) WHERE len(ws) >= 4
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+               AS gram
+      FROM g
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE source = 'src19'
+    ), hits AS (
+      SELECT DISTINCT c.doc_id, c.gram
+      FROM grams c JOIN eval_grams e USING (gram)
+      WHERE c.source <> 'src19'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM hits GROUP BY doc_id
+"""
+
+
+@register_extra("decontaminate_ngram", _DECONTAM_ORACLE)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 4-gram with
+    a held-out eval split (source='src19'), with the count of distinct
+    contaminated 4-grams per doc. Scale shape: the eval set is SMALL by
+    construction, so its distinct n-gram set broadcasts; corpus n-grams
+    die map-side on the broadcast semi-ish join — the corpus tail never
+    shuffles (the decontamination twin of the MG heavy-hitter plan)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    grams4 = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ws")) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("ws"), (i + k).cast("int")) for k in range(4)],
+        ),
+    )
+    g = (
+        d.select("doc_id", "source", ws.alias("ws"))
+        .filter(F.size("ws") >= 4)
+        .select("doc_id", "source", F.explode(grams4).alias("gram"))
+    )
+    eval_grams = g.filter(F.col("source") == "src19").select("gram").distinct()
+    return (
+        g.filter(F.col("source") != "src19")
+        .select("doc_id", "gram")
+        .distinct()
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+_CURATE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ), ranked AS (
+      SELECT *, sum(n_tok) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      FROM d
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM ranked WHERE cum_tok <= 800
+"""
+
+
+@register_extra("curate_token_budget", _CURATE_ORACLE)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data curation under a per-source token budget: keep the greedy
+    prefix of docs (quality proxy: n_chars desc, doc_id tiebreak) whose
+    running token total stays within 800 tokens per source. One shuffle
+    (the window partition); at 10^12 scale the budget cut prunes
+    everything downstream of a single pass."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", n_tok.cast("long").alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= 800)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
+_PACK_ORACLE = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ), ord AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM d
+    ), packed AS (
+      SELECT source, doc_id, rn, n_tok,
+             CAST(0 AS BIGINT) AS bin_id, n_tok AS bin_fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.doc_id, o.rn, o.n_tok,
+             CASE WHEN p.bin_fill + o.n_tok <= 128
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.bin_fill + o.n_tok <= 128
+                  THEN p.bin_fill + o.n_tok ELSE o.n_tok END
+      FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tok, bin_id, bin_fill FROM packed
+"""
+
+
+@register_extra("pack_sequences_greedy", _PACK_ORACLE)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 128-token context bins, greedy in doc_id
+    order per source (operators/packing.py) — the inherently-sequential
+    per-group fold (like the reference's FIFO worklist) run as a grouped
+    kernel, parallel across groups. The oracle solves the same fold as a
+    DuckDB recursive CTE — a genuinely independent second evaluation, the
+    Bril-oracle technique applied to a training-data operator."""
+    from parallel_dataflow_spark.operators.packing import pack_greedy
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))
+    base = d.select("doc_id", "source", n_tok.cast("long").alias("n_tok"))
+    return pack_greedy(base, capacity=128).select(
+        "source", "doc_id", "n_tok", "bin_id", "bin_fill"
+    )
+
+
 @register(
     "knn_cosine_top5",
     """
