@@ -1011,13 +1011,15 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode(grams4).alias("gram"))
     )
     eval_grams = g.filter(F.col("source") == "src19").select("gram").distinct()
+    # join BEFORE dedup: the broadcast join kills the corpus tail map-side,
+    # so the only shuffle carries eval-hit grams; countDistinct dedups
+    # repeated in-doc grams with map-side partial aggregation
     return (
         g.filter(F.col("source") != "src19")
         .select("doc_id", "gram")
-        .distinct()
         .join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
+        .agg(F.count_distinct(F.col("gram")).cast("long").alias("n_hits"))
     )
 
 
