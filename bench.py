@@ -68,9 +68,17 @@ BATCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BATCH_TRIALS", "3"))
 # chain scales, not just the featurization kernel. Kept out of the
 # default per-round run (it doubles streaming wall time); results are
 # archived in BENCH/pipeline_scaling.json + BASELINE.md.
-PIPE_SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE_ROWS", "1000000"))
-PIPE_SCALE_FILES = 48
-PIPE_SCALE_MFT = 8
+PIPE_SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE_ROWS", "8000000"))
+PIPE_SCALE_FILES = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE_FILES", "192"))
+PIPE_SCALE_MFT = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE_MFT", "64"))
+# pin each arm to exactly N physical CPUs (taskset) when available: in a
+# single shared JVM, local[N] bounds TASK slots but not GC / state-store
+# maintenance / IO threads, which inflate the small arm's effective
+# parallelism (measured: local[2] at 2.5-2.8 cpu/wall) — a real N-executor
+# cluster gives N cores to EVERYTHING, which is what pinning reproduces
+PIPE_PIN_CPUS = os.environ.get("SPARK_GRAFT_PIPE_PIN", "1") == "1" and bool(
+    shutil.which("taskset")
+)
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -472,7 +480,10 @@ def pipeline_data_dir() -> str:
     from parallel_dataflow_spark.session import get_spark, stop_spark
     from parallel_dataflow_spark.sources.sequences import write_sequence_table
 
-    d = os.path.join(tempfile.gettempdir(), f"pds_bench_pipesrc_{PIPE_SCALE_ROWS}")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"pds_bench_pipesrc_{PIPE_SCALE_ROWS}_{PIPE_SCALE_FILES}",
+    )
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
@@ -496,10 +507,15 @@ def pipeline_one(parallelism: int, data_dir: str) -> dict:
     from parallel_dataflow_spark.sources.sequences import write_sequence_table
     from parallel_dataflow_spark.streaming.jobs import run_pipeline_job
 
+    # state/shuffle partitions fixed across BOTH arms (state identity).
+    # Measured trade-off at 8M rows: 32 partitions (4x the large arm, the
+    # straggler-amortizing production sizing) LOST to 8 — per-batch commit
+    # overhead of 32x2 state stores outweighs the packing gain at this
+    # state size; at real scale the balance flips, hence the env knob.
     spark = get_spark(
         f"bench_pipe_{parallelism}",
         master=f"local[{parallelism}]",
-        shuffle_partitions=8,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_PIPE_SHUFFLE", "8")),
     )
     warm_src = tempfile.mkdtemp(prefix="pds_pipewarm_src_")
     warm_work = tempfile.mkdtemp(prefix="pds_pipewarm_job_")
@@ -562,10 +578,12 @@ def pipeline_scaling() -> None:
         order = (LEVEL_N, LEVEL_4N) if i % 2 == 0 else (LEVEL_4N, LEVEL_N)
         for level in order:
             time.sleep(COOLDOWN_SEC)
+            cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-one",
+                   str(level), data_dir]
+            if PIPE_PIN_CPUS:
+                cmd = ["taskset", "-c", f"0-{level - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pipeline-one",
-                 str(level), data_dir],
-                capture_output=True, text=True, timeout=1800,
+                cmd, capture_output=True, text=True, timeout=1800,
             )
             r = None
             for line in reversed(out.stdout.strip().splitlines()):
@@ -590,7 +608,9 @@ def pipeline_scaling() -> None:
                "sink)",
         "input_rows": PIPE_SCALE_ROWS,
         "levels_compared": [LEVEL_N, LEVEL_4N],
+        "n_files": PIPE_SCALE_FILES,
         "max_files_per_trigger": PIPE_SCALE_MFT,
+        "cpu_pinned": PIPE_PIN_CPUS,
         "median_rows_per_sec": {
             f"local{LEVEL_N}": round(med_clean(LEVEL_N, "rows_per_sec"), 1),
             f"local{LEVEL_4N}": round(med_clean(LEVEL_4N, "rows_per_sec"), 1),

@@ -62,22 +62,31 @@ def mg_candidates(items: DataFrame, col: str, theta: float) -> DataFrame:
     k = _mg_capacity(theta)
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = None  # pd.Series: key -> residual count
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vc = pdf[col].explode().dropna().value_counts()
-            if not len(vc):
-                continue
-            acc = vc if acc is None else acc.add(vc, fill_value=0)
-            if len(acc) > k:
-                # (K+1)-th largest residual; subtracting it keeps <= K keys
-                d = acc.nlargest(k + 1).iloc[-1]
-                acc = acc - d
-                acc = acc[acc > 0]
+        acc = mg_fold((pdf[col] for pdf in batches), k)
         yield pd.DataFrame({"key": [] if acc is None else acc.index.astype(str)})
 
     return items.select(col).mapInPandas(part, schema="key string").distinct()
+
+
+def mg_fold(array_series_iter, k: int) -> pd.Series | None:
+    """The batched Misra-Gries fold over an iterator of pandas Series of
+    key-arrays; returns the residual-count summary (<= k keys) or None for
+    empty input. Pure pandas — property-tested directly in
+    tests/test_heavy_hitters.py without a Spark round-trip per example."""
+    acc = None  # pd.Series: key -> residual count
+    for s in array_series_iter:
+        if not len(s):
+            continue
+        vc = s.explode().dropna().value_counts()
+        if not len(vc):
+            continue
+        acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if len(acc) > k:
+            # (K+1)-th largest residual; subtracting it keeps <= K keys
+            d = acc.nlargest(k + 1).iloc[-1]
+            acc = acc - d
+            acc = acc[acc > 0]
+    return acc
 
 
 def heavy_hitters_exact(

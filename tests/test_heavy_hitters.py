@@ -85,6 +85,36 @@ def test_empty_and_null_arrays(spark):
     assert got == {"a": 3}
 
 
+def test_mg_fold_property_no_false_negatives():
+    """Property (hypothesis): for ANY batching of ANY key stream, every key
+    with total count > n/(K+1) survives the batched MG fold, and the
+    summary never exceeds K keys — the two halves of the classic MG bound
+    that the exact-recount stage's correctness rests on."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+    import pandas as pd
+    from collections import Counter
+
+    from parallel_dataflow_spark.operators.heavy_hitters import mg_fold
+
+    keys = st.integers(min_value=0, max_value=30).map(lambda i: f"k{i}")
+    batch = st.lists(st.lists(keys, max_size=8), max_size=6)  # rows of arrays
+
+    @given(batches=st.lists(batch, max_size=5), k=st.integers(2, 12))
+    @settings(max_examples=150, deadline=None)
+    def prop(batches, k):
+        acc = mg_fold((pd.Series(b, dtype=object) for b in batches), k)
+        survivors = set() if acc is None else set(acc.index)
+        assert len(survivors) <= k
+        truth = Counter(x for b in batches for arr in b for x in arr)
+        n = sum(truth.values())
+        for key, cnt in truth.items():
+            if cnt > n / (k + 1):
+                assert key in survivors, (key, cnt, n, k)
+
+    prop()
+
+
 def test_recount_join_is_broadcast(spark, skewed):
     """Plan shape: the exact recount joins the exploded keys against a
     BROADCAST of the candidate set — the long tail dies map-side, never
