@@ -62,6 +62,14 @@ TARGET_EFF = 0.8
 # BENCH/BASELINE.md), which round 3 learned the hard way on
 # dedup_minhash_lsh (4.7 -> 6.8 s between single-sample rounds)
 BATCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BATCH_TRIALS", "3"))
+# dispersion-triggered extra batch passes: a query whose warm trials
+# (pass 2+; pass 1 is the documented JIT cold) spread more than this
+# max/min ratio got hit by a zero-steal burst-cap window — take more
+# samples (never exclude any) until the median stabilizes or the bound
+# runs out. Measured: dedup_minhash_lsh warm trials spanned 2.9-8.8 s
+# with 0.1 s steal in one pass set; every other query stayed within 1.2x
+SPREAD_BAD_RATIO = float(os.environ.get("SPARK_GRAFT_SPREAD_BAD", "2.0"))
+MAX_EXTRA_QUERY_PASSES = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_QUERY_PASSES", "2"))
 # opt-in `--pipeline-scaling` mode: the COMPOSED ingestion pipeline
 # (gate → streaming dedup → windowed stats → exactly-once sink) measured
 # at both parallelism levels — evidence that the multi-stateful-operator
@@ -114,6 +122,16 @@ def annotate_depletion(trials: dict[int, list[dict]]) -> None:
             and t["elapsed_sec"] >= DEPLETION_WALL_FRAC * small_med
         )
 
+def warm_spread_unstable(samples: list[float], ratio: float | None = None) -> bool:
+    """True when the WARM trials of one query (samples[1:]; samples[0] is
+    the JIT cold, absorbed by the median) spread more than ``ratio``
+    max/min — the signature of a zero-steal burst-cap window hitting a
+    subset of the passes. Needs >=2 warm samples to say anything."""
+    r = SPREAD_BAD_RATIO if ratio is None else ratio
+    warm = samples[1:]
+    return len(warm) >= 2 and max(warm) / max(min(warm), 1e-9) > r
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -164,12 +182,33 @@ def bench_batch() -> tuple[dict[str, float], dict]:
             queries[name](spark, SF_DIR).count()
             trials[name].append(round(time.time() - t0, 3))
         steal_per_pass.append(round(_steal_sec() - s0, 1))
+
+    def unstable(name: str) -> bool:
+        return warm_spread_unstable(trials[name])
+
+    extra_passes = 0
+    while extra_passes < MAX_EXTRA_QUERY_PASSES and any(
+        unstable(n) for n in HEADLINE
+    ):
+        # one more round-robin pass over ONLY the unstable queries (extra
+        # samples sharpen the median; nothing is ever excluded)
+        s0 = _steal_sec()
+        for name in [n for n in HEADLINE if unstable(n)]:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            queries[name](spark, SF_DIR).count()
+            trials[name].append(round(time.time() - t0, 3))
+        steal_per_pass.append(round(_steal_sec() - s0, 1))
+        extra_passes += 1
     stop_spark()
     times = {name: round(statistics.median(v), 3) for name, v in trials.items()}
     detail = {
-        "estimator": f"median of {BATCH_TRIALS} round-robin passes",
+        "estimator": f"median of {BATCH_TRIALS} round-robin passes"
+        + (f" + {extra_passes} dispersion-triggered extra" if extra_passes else ""),
         "trials": trials,
         "host_steal_sec_per_pass": steal_per_pass,
+        "extra_passes_run": extra_passes,
+        "unstable_after_extras": [n for n in HEADLINE if unstable(n)],
     }
     return times, detail
 

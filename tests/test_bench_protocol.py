@@ -74,3 +74,21 @@ def test_empty_arms_are_safe():
     trials = {bench.LEVEL_N: [], bench.LEVEL_4N: [_trial(5.0)]}
     bench.annotate_depletion(trials)
     assert trials[bench.LEVEL_4N][0]["host_depleted"] is False
+
+
+def test_warm_spread_ignores_jit_cold():
+    # a typical clean query: first trial ~2.4x steady (JIT cold), warm
+    # trials tight — must NOT trigger extra passes
+    assert not bench.warm_spread_unstable([1.287, 0.553, 0.538], ratio=2.0)
+
+
+def test_warm_spread_catches_burst_capped_query():
+    # the measured dedup_minhash_lsh shape: warm trials 8.8 s vs 2.9 s at
+    # zero steal — burst-cap window, more samples needed
+    assert bench.warm_spread_unstable([7.051, 8.759, 2.899], ratio=2.0)
+
+
+def test_warm_spread_needs_two_warm_samples():
+    assert not bench.warm_spread_unstable([5.0, 1.0], ratio=2.0)
+    assert not bench.warm_spread_unstable([5.0], ratio=2.0)
+    assert not bench.warm_spread_unstable([], ratio=2.0)
