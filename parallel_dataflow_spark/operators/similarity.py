@@ -178,3 +178,77 @@ def embedding_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the classic
+    broadcast-centroid pattern (the IVF coarse quantizer's training step;
+    cf. knn_cosine_ivf which probes fixed seed centroids).
+
+    Per iteration: centroids live driver-side as K x dim literals
+    (k*dim doubles — bytes, not data), assignment is a pure JVM
+    zip_with/aggregate squared-L2 fold against the broadcast literals, and
+    the recompute is one partial-agg shuffle of (cluster, pos) running
+    sums — K*dim rows cross the wire regardless of corpus size, so the
+    loop is one map + one vocabulary-sized shuffle per iteration at any
+    scale (no .collect() of data rows; the only driver materialization is
+    the K seed vectors and the K*dim centroid table).
+
+    Determinism contract (cross-engine, mirrored by the DuckDB oracle in
+    plans/registry.py:embedding_kmeans): seeds = embeddings of the K
+    smallest ids; every centroid coordinate and every distance is rounded
+    to 6 decimals before use; argmin ties break on cluster id; empty
+    clusters keep their previous centroid. Float32 inputs are widened to
+    double before any arithmetic, so both engines fold identical values
+    and the 6-dp rounding absorbs sub-1e-12 summation-order noise.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    seeds = emb.orderBy("doc_id").limit(k).collect()
+    cents: list[list[float]] = [
+        [round(float(v), 6) for v in r["emb"]] for r in seeds
+    ]
+
+    def assign(df: DataFrame) -> DataFrame:
+        choices = []
+        for c, cent in enumerate(cents):
+            arr = F.array(*[F.lit(v) for v in cent])
+            d = F.round(
+                F.aggregate(
+                    F.zip_with(F.col("emb"), arr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            choices.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+        return df.withColumn(
+            "cluster", F.array_min(F.array(*choices))["c"].cast("int")
+        )
+
+    for it in range(iters):
+        assigned = assign(emb)
+        if it == iters - 1:
+            break
+        rows = (
+            assigned.select("cluster", F.posexplode("emb").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("x"), 6).alias("v"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["i"]] = r["v"]
+        cents = [
+            [m[i] for i in sorted(m)] if (m := by_cluster.get(c)) else cents[c]
+            for c in range(k)
+        ]
+    return assigned.select("doc_id", "cluster")

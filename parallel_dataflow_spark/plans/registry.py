@@ -2530,3 +2530,181 @@ def flagship_entry(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") 
             F.countDistinct("top_token").alias("n_distinct_top"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift diagnostic: per-source token-distribution divergence
+# ---------------------------------------------------------------------------
+
+_JS_DIVERGENCE_ORACLE = """
+    WITH w AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), sc AS (
+      SELECT source, word, CAST(count(*) AS DOUBLE) AS c
+      FROM w WHERE word != '' GROUP BY source, word
+    ), st AS (SELECT source, sum(c) AS t FROM sc GROUP BY source),
+    cc AS (SELECT word, sum(c) AS c FROM sc GROUP BY word),
+    ct AS (SELECT sum(c) AS t FROM cc),
+    terms AS (
+      -- dense form: every (source, corpus-word) pair, p = 0 when absent
+      SELECT s.source,
+             coalesce(sc.c, 0) / st.t AS p,
+             cc.c / ct.t AS q
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN cc
+      LEFT JOIN sc ON sc.source = s.source AND sc.word = cc.word
+      JOIN st ON st.source = s.source
+      CROSS JOIN ct
+    )
+    SELECT t.source,
+           CAST(st.t AS BIGINT) AS n_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM sc x
+            WHERE x.source = t.source) AS vocab,
+           round(sum(CASE WHEN p > 0 THEN 0.5*p*log2(2*p/(p+q)) ELSE 0 END
+                     + 0.5*q*log2(2*q/(p+q))), 6) AS js_div
+    FROM terms t JOIN st ON st.source = t.source
+    GROUP BY t.source, st.t
+"""
+
+
+@register_extra("token_js_divergence_by_source", _JS_DIVERGENCE_ORACLE)
+def token_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift diagnostic: Jensen-Shannon divergence between each
+    source's unigram distribution and the whole-corpus distribution —
+    the standard contamination/shift monitor for a training-data mix.
+
+    The oracle computes the textbook DENSE sum over every (source,
+    corpus-word) pair. This side uses the algebraically identical SPARSE
+    form: words absent from a source contribute 0.5*q each (p=0 ⇒ the
+    p-term vanishes and log2(2q/q)=1), so
+
+        JS(s) = sum_{w in s} [0.5*p*log2(2p/(p+q)) + 0.5*q*log2(2q/(p+q))
+                              - 0.5*q] + 0.5
+
+    and only the source's OWN words are ever joined — no source x vocab
+    cross join. At 100 TB: one document-volume shuffle builds the
+    (source, word) counts; the corpus distribution is vocabulary-sized
+    and broadcast; the JS fold is a per-source partial agg. 6-dp rounding
+    absorbs cross-engine libm/summation-order noise (dense-vs-sparse and
+    Spark-vs-DuckDB agreement both verified at build time)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    # materialize-once: sc is vocabulary x sources-bounded (tiny relative
+    # to the corpus) and feeds THREE aggregations — without this the
+    # doc-volume scan+explode would run once per consumer
+    sc = words.groupBy("source", "word").agg(
+        F.count("*").cast("double").alias("c")
+    ).persist()
+    st = sc.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count("*").alias("vocab")
+    )
+    cc = sc.groupBy("word").agg(F.sum("c").alias("cq"))
+    ct = cc.agg(F.sum("cq").alias("tq"))
+    p = F.col("c") / F.col("t")
+    q = F.col("cq") / F.col("tq")
+    term = (
+        0.5 * p * F.log2(2 * p / (p + q))
+        + 0.5 * q * F.log2(2 * q / (p + q))
+        - 0.5 * q
+    )
+    return (
+        sc.join(F.broadcast(cc), "word")
+        .crossJoin(F.broadcast(ct))
+        .join(F.broadcast(st), "source")
+        .groupBy("source")
+        .agg(
+            F.first(F.col("t").cast("long")).alias("n_tokens"),
+            F.first("vocab").alias("vocab"),
+            F.round(F.sum(term) + F.lit(0.5), 6).alias("js_div"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding k-means (Lloyd's, broadcast centroids) — oracle unrolls the
+# iterations as CTEs over the same 6-dp-rounded determinism contract
+# ---------------------------------------------------------------------------
+
+_KMEANS_K, _KMEANS_ITERS = 8, 3
+
+
+def _kmeans_dist_cte(cent: str, tag: str) -> str:
+    return f"""
+    d{tag} AS (
+      SELECT e.doc_id, c.cluster,
+             round(list_sum(list_transform(list_zip(e.emb, c.cent),
+                   x -> (x[1] - x[2])^2)), 6) AS dist
+      FROM e CROSS JOIN {cent} c
+    ),
+    a{tag} AS (
+      SELECT doc_id, cluster FROM (
+        SELECT doc_id, cluster,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d{tag}
+      ) WHERE rn = 1
+    )"""
+
+
+def _kmeans_mean_cte(assign: str, prev: str, out: str) -> str:
+    return f"""
+    m{out} AS (
+      SELECT a.cluster, i, round(avg(x), 6) AS v FROM (
+        SELECT e.doc_id, unnest(e.emb) AS x,
+               generate_subscripts(e.emb, 1) AS i
+        FROM e
+      ) u JOIN {assign} a ON u.doc_id = a.doc_id
+      GROUP BY a.cluster, i
+    ),
+    {out} AS (
+      SELECT p.cluster, coalesce(l.cent, p.cent) AS cent
+      FROM {prev} p LEFT JOIN (
+        SELECT cluster, list(v ORDER BY i) AS cent FROM m{out} GROUP BY cluster
+      ) l ON p.cluster = l.cluster
+    )"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS cluster,
+             list_transform(emb, x -> round(x, 6)) AS cent
+      FROM (SELECT doc_id, emb FROM e ORDER BY doc_id LIMIT {_KMEANS_K})
+    )"""
+    ]
+    for it in range(1, _KMEANS_ITERS + 1):
+        parts.append(_kmeans_dist_cte(f"c{it - 1}", str(it)))
+        if it < _KMEANS_ITERS:
+            parts.append(_kmeans_mean_cte(f"a{it}", f"c{it - 1}", f"c{it}"))
+    return (
+        ",".join(parts)
+        + f"\n    SELECT doc_id, CAST(cluster AS INTEGER) AS cluster"
+        + f" FROM a{_KMEANS_ITERS}"
+    )
+
+
+@register_extra("embedding_kmeans", _kmeans_oracle())
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means assignment over the embeddings table (K=8, 3
+    iterations) — see operators/similarity.kmeans_assign for the
+    broadcast-centroid scale argument. The oracle unrolls the SAME
+    iterations as DuckDB CTEs under the shared determinism contract
+    (6-dp-rounded centroids and distances, cluster-id tie-break,
+    empty clusters keep their previous centroid); a numpy third opinion
+    pins the spec in tests/test_similarity.py."""
+    from parallel_dataflow_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )

@@ -77,3 +77,44 @@ def test_embedding_lsh_pairs_recall_and_precision(spark, vectors):
     assert got <= truth, f"false positives: {got - truth}"  # precision 1.0
     recall = len(got) / len(truth)
     assert recall >= 0.8, f"pair recall {recall:.2f} < 0.8 ({len(got)}/{len(truth)})"
+
+
+def test_kmeans_assign_matches_numpy_spec(spark):
+    """Third opinion on the k-means determinism contract (the DuckDB CTE
+    oracle is the second): an independent numpy implementation of the
+    same spec — seeds = K smallest ids, 6-dp-rounded centroids and
+    squared-L2 distances, argmin ties to the lowest cluster id, empty
+    clusters keep their previous centroid — must reproduce the engine's
+    assignment exactly."""
+    from parallel_dataflow_spark.operators.similarity import kmeans_assign
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    K, ITERS = 8, 3
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t["vec_id"])
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, emb = ids[order], emb[order]
+
+    cent = np.round(emb[:K].copy(), 6)
+    for it in range(ITERS):
+        d = np.round(((emb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 6)
+        assign = d.argmin(axis=1)  # first occurrence = lowest cluster id
+        if it < ITERS - 1:
+            newc = cent.copy()
+            for k in range(K):
+                members = assign == k
+                if members.any():
+                    newc[k] = np.round(emb[members].mean(axis=0), 6)
+            cent = newc
+    expected = dict(zip(ids.tolist(), assign.tolist()))
+
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in kmeans_assign(
+            load_table(spark, SF_DIR, "embeddings"), k=K, iters=ITERS
+        ).collect()
+    }
+    assert got == expected
+    # sanity: the clustering is non-degenerate on this corpus
+    assert len(set(got.values())) == K
