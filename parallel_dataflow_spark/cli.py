@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
-            "pipeline", "neardup",
+            "pipeline", "neardup", "drift",
         ],
         default="tumbling",
     )
@@ -198,6 +198,7 @@ def main(argv: list[str] | None = None) -> int:
             "join": J.run_join_job,
             "pipeline": J.run_pipeline_job,
             "neardup": J.run_neardup_job,
+            "drift": J.run_drift_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

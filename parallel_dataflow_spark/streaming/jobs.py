@@ -499,3 +499,149 @@ def batch_tumbling_golden(spark: SparkSession, input_dir: str, window: str = "10
     from parallel_dataflow_spark.sources.sequences import read_sequence_table
 
     return W.tumbling_doc_stats(read_sequence_table(spark, input_dir), window=window)
+
+
+def _bucket_hist_kernel(n_buckets: int):
+    """mapInPandas kernel: per sequence, bucket-count tokens into a fixed
+    ``n_buckets``-length histogram (token % n_buckets, numpy bincount per
+    Arrow-backed row). The full token array dies HERE, map-side — only
+    (source, event_ts, hist[n_buckets]) ever reaches an exchange."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hists = [
+                np.bincount(
+                    np.asarray(arr, dtype=np.int64) % n_buckets,
+                    minlength=n_buckets,
+                ).tolist()
+                for arr in pdf["tokens"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "event_ts": pdf["event_ts"],
+                    "hist": hists,
+                }
+            )
+
+    return kernel
+
+
+def run_drift_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    n_buckets: int = 32,
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming corpus-drift monitor — the deployable twin of the batch
+    ``token_js_divergence_by_source`` entry: per (source, window), the
+    bucketed token distribution, published as an exactly-once table
+    keyed (source, window_start, pos); ``drift_report`` turns that table
+    into per-source JS-divergence rows vs each window's global mix.
+
+    Scale shape: the token payload is reduced map-side to an
+    ``n_buckets``-length histogram per sequence (_bucket_hist_kernel), so
+    the stateful exchange carries (window, source, pos) partial sums —
+    bounded by windows x sources x n_buckets regardless of corpus size —
+    and the group-key space is naturally spread (no salting needed: every
+    source fans out over n_buckets keys)."""
+    from pyspark.sql import functions as F
+
+    sink = make_sink(
+        spark, work_dir, ["source", "window_start", "pos"], iceberg_table
+    )
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    feat = stream.mapInPandas(
+        _bucket_hist_kernel(n_buckets),
+        schema="source string, event_ts timestamp, hist array<bigint>",
+    )
+    agg = (
+        feat.withWatermark("event_ts", watermark)
+        .select("source", "event_ts", F.posexplode("hist").alias("pos", "cnt"))
+        .groupBy(F.window("event_ts", window).alias("w"), "source", "pos")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "pos",
+            "cnt",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_drift_golden(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "10 minutes",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Batch twin of run_drift_job's histogram table (the differential
+    golden for the stream-vs-batch test)."""
+    from pyspark.sql import functions as F
+
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    d = read_sequence_table(spark, input_dir)
+    feat = d.mapInPandas(
+        _bucket_hist_kernel(n_buckets),
+        schema="source string, event_ts timestamp, hist array<bigint>",
+    )
+    return (
+        feat.select("source", "event_ts", F.posexplode("hist").alias("pos", "cnt"))
+        .groupBy(F.window("event_ts", window).alias("w"), "source", "pos")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select("source", F.col("w.start").alias("window_start"), "pos", "cnt")
+    )
+
+
+def drift_report(hist: DataFrame) -> DataFrame:
+    """Per (source, window): Jensen-Shannon divergence between the
+    source's bucketed token distribution and the window's global mix,
+    computed from the histogram table run_drift_job publishes. The input
+    is bucket-bounded (windows x sources x n_buckets rows), so every
+    join here is small; the dense JS sum (p = 0 for buckets a source
+    never hit) mirrors the batch entry's oracle formulation. 6-dp
+    rounding as everywhere in the cross-engine contract."""
+    from pyspark.sql import functions as F
+
+    g = hist.groupBy("window_start", "pos").agg(F.sum("cnt").alias("gcnt"))
+    gt = g.groupBy("window_start").agg(F.sum("gcnt").alias("gt"))
+    st = hist.groupBy("source", "window_start").agg(
+        F.sum("cnt").alias("stot")
+    )
+    grid = (
+        st.join(g, "window_start")
+        .join(gt, "window_start")
+        .join(
+            hist.withColumnRenamed("cnt", "scnt"),
+            ["source", "window_start", "pos"],
+            "left",
+        )
+    )
+    p = F.coalesce(F.col("scnt"), F.lit(0)).cast("double") / F.col("stot")
+    q = F.col("gcnt").cast("double") / F.col("gt")
+    # guards: p = 0 for buckets the source never hit; q = 0 for buckets
+    # nothing in the window hit (the histogram grid publishes zero rows)
+    term = (
+        F.when(p > 0, 0.5 * p * F.log2(2 * p / (p + q))).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log2(2 * q / (p + q))).otherwise(F.lit(0.0))
+    )
+    return grid.groupBy("source", "window_start").agg(
+        F.first(F.col("stot").cast("long")).alias("n_tokens"),
+        F.round(F.sum(term), 6).alias("js_div"),
+    )
