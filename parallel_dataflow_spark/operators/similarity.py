@@ -180,64 +180,56 @@ def embedding_lsh_pairs(
     )
 
 
-def kmeans_assign(
-    embeddings: DataFrame,
-    k: int = 8,
-    iters: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means over an embedding column — the classic
-    broadcast-centroid pattern (the IVF coarse quantizer's training step;
-    cf. knn_cosine_ivf which probes fixed seed centroids).
+def _kmeans_argmin(cents: list[list[float]], emb_col: str = "emb"):
+    """JVM squared-L2 argmin against broadcast centroid literals: each
+    candidate is a (rounded-dist, cluster-id) struct and array_min picks
+    the lexicographic minimum, so ties break on cluster id — the shared
+    cross-engine determinism contract."""
+    choices = []
+    for c, cent in enumerate(cents):
+        arr = F.array(*[F.lit(v) for v in cent])
+        d = F.round(
+            F.aggregate(
+                F.zip_with(F.col(emb_col), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        choices.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+    return F.array_min(F.array(*choices))["c"].cast("int")
 
-    Per iteration: centroids live driver-side as K x dim literals
-    (k*dim doubles — bytes, not data), assignment is a pure JVM
-    zip_with/aggregate squared-L2 fold against the broadcast literals, and
-    the recompute is one partial-agg shuffle of (cluster, pos) running
-    sums — K*dim rows cross the wire regardless of corpus size, so the
-    loop is one map + one vocabulary-sized shuffle per iteration at any
-    scale (no .collect() of data rows; the only driver materialization is
-    the K seed vectors and the K*dim centroid table).
 
-    Determinism contract (cross-engine, mirrored by the DuckDB oracle in
-    plans/registry.py:embedding_kmeans): seeds = embeddings of the K
-    smallest ids; every centroid coordinate and every distance is rounded
-    to 6 decimals before use; argmin ties break on cluster id; empty
-    clusters keep their previous centroid. Float32 inputs are widened to
-    double before any arithmetic, so both engines fold identical values
-    and the 6-dp rounding absorbs sub-1e-12 summation-order noise.
+def kmeans_fit(
+    emb: DataFrame, k: int, iters: int
+) -> list[list[float]]:
+    """Lloyd's k-means training over a (doc_id, emb: array<double>)
+    frame; returns the final K x dim centroid table (the centroids the
+    `iters`-th assignment would use, i.e. iters-1 mean updates).
+
+    Centroids live driver-side as K x dim literals (bytes, not data);
+    assignment is a pure JVM zip_with/aggregate squared-L2 fold against
+    the broadcast literals, and each recompute is one partial-agg shuffle
+    of (cluster, pos) running sums — K*dim rows cross the wire regardless
+    of corpus size, so training is one map + one vocabulary-sized shuffle
+    per iteration at any scale (the only driver materializations are the
+    K seed vectors and the K*dim centroid table).
+
+    Determinism contract (cross-engine, mirrored by the DuckDB oracles in
+    plans/registry.py: embedding_kmeans, knn_pq_adc_top5): seeds =
+    embeddings of the K smallest ids; every centroid coordinate and every
+    distance is rounded to 6 decimals before use; argmin ties break on
+    cluster id; empty clusters keep their previous centroid. Float32
+    inputs must be widened to double by the caller so both engines fold
+    identical values and the 6-dp rounding absorbs sub-1e-12
+    summation-order noise.
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
-    )
     seeds = emb.orderBy("doc_id").limit(k).collect()
     cents: list[list[float]] = [
         [round(float(v), 6) for v in r["emb"]] for r in seeds
     ]
-
-    def assign(df: DataFrame) -> DataFrame:
-        choices = []
-        for c, cent in enumerate(cents):
-            arr = F.array(*[F.lit(v) for v in cent])
-            d = F.round(
-                F.aggregate(
-                    F.zip_with(F.col("emb"), arr, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            )
-            choices.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
-        return df.withColumn(
-            "cluster", F.array_min(F.array(*choices))["c"].cast("int")
-        )
-
-    for it in range(iters):
-        assigned = assign(emb)
-        if it == iters - 1:
-            break
+    for _ in range(iters - 1):
+        assigned = emb.withColumn("cluster", _kmeans_argmin(cents))
         rows = (
             assigned.select("cluster", F.posexplode("emb").alias("i", "x"))
             .groupBy("cluster", "i")
@@ -251,4 +243,202 @@ def kmeans_assign(
             [m[i] for i in sorted(m)] if (m := by_cluster.get(c)) else cents[c]
             for c in range(k)
         ]
-    return assigned.select("doc_id", "cluster")
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the classic
+    broadcast-centroid pattern (the IVF coarse quantizer's training step;
+    cf. knn_cosine_ivf which probes fixed seed centroids). Training and
+    the scale/determinism argument live in kmeans_fit; this wrapper runs
+    the final JVM argmin assignment."""
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    cents = kmeans_fit(emb, k, iters)
+    return emb.withColumn("cluster", _kmeans_argmin(cents)).select(
+        "doc_id", "cluster"
+    )
+
+
+def pq_fit(
+    emb: DataFrame, m: int, k: int, iters: int
+) -> tuple[list[list[list[float]]], int]:
+    """Product-quantization codebook training (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public):
+    split the dim-D vector into M contiguous subspaces of D/M dims and
+    run Lloyd's k-means independently in each. Returns (codebooks, dsub)
+    where codebooks[s] is the K x dsub centroid table of subspace s.
+
+    All M subspaces train in ONE pass per iteration: the M argmin
+    assignments are M pure-JVM projections over the same scan, and the
+    mean recompute is a single partial-agg shuffle keyed
+    (subspace, cluster, coord) — M*K*dsub = D*K rows cross the wire per
+    iteration regardless of corpus size. Same determinism contract as
+    kmeans_fit (6-dp rounding, cluster-id tie-break, empty clusters keep
+    their previous centroid), mirrored by the unrolled DuckDB oracle in
+    plans/registry.py:knn_pq_adc_top5.
+    """
+    seeds = emb.orderBy("doc_id").limit(k).collect()
+    dim = len(seeds[0]["emb"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = [
+        [
+            [round(float(v), 6) for v in r["emb"][s * dsub : (s + 1) * dsub]]
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters - 1):
+        df = emb
+        for s in range(m):
+            df = df.withColumn(
+                f"sub_{s}", F.slice("emb", s * dsub + 1, dsub)
+            ).withColumn(f"code_{s}", _kmeans_argmin(books[s], f"sub_{s}"))
+        codes_arr = F.array(*[F.col(f"code_{s}") for s in range(m)])
+        rows = (
+            df.select(codes_arr.alias("codes"), F.posexplode("emb").alias("i", "x"))
+            .withColumn("s", (F.col("i") / dsub).cast("int"))
+            .withColumn("cluster", F.element_at("codes", F.col("s") + 1))
+            .withColumn("j", (F.col("i") % dsub).cast("int"))
+            .groupBy("s", "cluster", "j")
+            .agg(F.round(F.avg("x"), 6).alias("v"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault((r["s"], r["cluster"]), {})[r["j"]] = r["v"]
+        books = [
+            [
+                [mm[j] for j in sorted(mm)]
+                if (mm := upd.get((s, c)))
+                else books[s][c]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    return books, dsub
+
+
+def pq_encode(
+    emb: DataFrame, books: list[list[list[float]]], dsub: int
+) -> DataFrame:
+    """Encode (doc_id, emb) to M small code columns — M JVM argmin
+    projections over one scan; the output carries M ints per vector (the
+    storage win that makes PQ the billion-scale path: 100 TB of float
+    vectors compress to M bytes/vector of codes + a broadcastable
+    codebook)."""
+    enc = emb
+    for s in range(len(books)):
+        enc = enc.withColumn(
+            f"sub_{s}", F.slice("emb", s * dsub + 1, dsub)
+        ).withColumn(f"code_{s}", _kmeans_argmin(books[s], f"sub_{s}"))
+    return enc.select("doc_id", *[f"code_{s}" for s in range(len(books))])
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    n_queries: int = 5,
+    rerank: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k with exact re-ranking
+    (the standard PQ-with-refinement pipeline, Jégou et al. 2011 §V-D):
+    exact query subvectors are scored against quantized database codes,
+    the ADC top-``rerank`` shortlist is then re-ranked by exact squared
+    L2 to produce the final top-k. Per query the M x K table of subspace
+    squared-L2 distances is precomputed driver-side (M*K doubles —
+    bytes) and shipped as literals in a broadcast queries frame; scoring
+    each database vector is M array lookups + a sum, so no float vectors
+    move in the scan phase, and the exact rerank touches only
+    ``n_queries * rerank`` vectors via a broadcast shortlist join — the
+    shortlist is a constant while the corpus grows (100 of 10^9 vectors
+    at scale). ``rerank=None`` returns raw ADC ranks (approx_dist
+    column). Deterministic under the shared 6-dp rounding contract:
+    every distance is rounded before ranking, ties break on vec_id.
+    Output (query_id, vec_id, dist|approx_dist, rank), self-match
+    excluded.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    books, dsub = pq_fit(emb, m, k, iters)
+    codes = pq_encode(emb, books, dsub)
+    qrows = emb.filter(F.col("doc_id") < n_queries).orderBy("doc_id").collect()
+    spark = embeddings.sparkSession
+    qdata = []
+    for qr in qrows:
+        qv = [float(v) for v in qr["emb"]]
+        tables = []
+        for s in range(m):
+            qsub = qv[s * dsub : (s + 1) * dsub]
+            tables.append(
+                [
+                    round(sum((a - b) * (a - b) for a, b in zip(qsub, cent)), 6)
+                    for cent in books[s]
+                ]
+            )
+        qdata.append((int(qr["doc_id"]), qv, *tables))
+    tcols = ", ".join(f"t{s} array<double>" for s in range(m))
+    qdf = spark.createDataFrame(
+        qdata, schema=f"query_id bigint, q_emb array<double>, {tcols}"
+    )
+    terms = [
+        F.element_at(F.col(f"t{s}"), F.col(f"code_{s}") + 1) for s in range(m)
+    ]
+    approx = F.round(sum(terms[1:], terms[0]), 6)
+    scored = (
+        codes.crossJoin(F.broadcast(qdf.drop("q_emb")))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("vec_id"),
+            approx.alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("vec_id").asc()
+    )
+    adc_ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return adc_ranked.filter(F.col("rank") <= topk)
+    shortlist = adc_ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "vec_id"
+    )
+    exact = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"), F.col("emb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    rr = (
+        F.broadcast(shortlist)
+        .join(emb.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+        .join(F.broadcast(qdf.select("query_id", "q_emb")), "query_id")
+        .select("query_id", "vec_id", exact.alias("dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return rr.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= topk
+    )

