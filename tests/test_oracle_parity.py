@@ -27,6 +27,11 @@ def norm_value(v):
         return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if isinstance(v, str):
+        # Tagged so a string never collides with a number: the driver's
+        # value-hash is typed ("42" != 42 — the exact r3 running_doc_stats
+        # failure the untagged form couldn't see).
+        return "str:" + v
     return str(v)
 
 
