@@ -373,3 +373,99 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def exact_substring_spans(
+    documents: DataFrame,
+    w: int = 8,
+    min_len: int = 16,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring detection between document pairs — the
+    ExactSubstr dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022, public): report every maximal
+    cross-document token span of length >= ``min_len`` that two documents
+    share verbatim.
+
+    Spark-first shape (the paper uses a single-machine suffix array; a
+    suffix array doesn't distribute, gram inversion does):
+
+    1. scan-side: tokenize, emit one (doc_id, pos, md5(w-gram)) row per
+       token position — pure JVM transform/slice over the token array,
+       one row per token, no Python;
+    2. one equi-join of the gram index with itself on the gram hash
+       (doc_a < doc_b) — THE shuffle; matches land on diagonals
+       d = pos_a - pos_b;
+    3. maximal-run merge: within (doc_a, doc_b, d), consecutive pos_a
+       values are one shared span (classic islands: pos_a - row_number()
+       groups a run), span_len = max(pos_a) - min(pos_a) + w;
+    4. filter span_len >= min_len.
+
+    Every shared span of length L >= w appears as a full diagonal run of
+    L - w + 1 matching grams, so detection is EXACT (up to md5 collision)
+    — unlike minhash/simhash there is no recall dial.
+
+    At 100 TB: the gram index is one row per token (heavy but scan-local);
+    the join shuffles (hash, doc_id, pos) triples only — raw text never
+    moves. Boilerplate grams shared by millions of docs would make the
+    join quadratic per hash bucket; ``max_gram_df`` drops grams appearing
+    in more than that many documents before the join (standard df-cap,
+    costs one extra aggregate on the gram index; spans covered only by
+    capped grams are then missed — a documented precision/scale dial,
+    None = exact). The winnowed fingerprint index (functions/text.py) is
+    the sub-linear candidate generator when even one-row-per-token is too
+    hot; grams here are its exhaustive-verification twin.
+
+    Output: (doc_a, doc_b, start_a, start_b, span_len), doc_a < doc_b,
+    positions 0-based token offsets, one row per maximal span per
+    diagonal.
+    """
+    from pyspark.sql import Window
+
+    toks = words_col(F.col("text"), distinct=False)
+    d = documents.select("doc_id", toks.alias("t"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("t") >= w,
+                F.expr(
+                    f"transform(sequence(0, size(t) - {w}),"
+                    f" i -> md5(concat_ws(' ', slice(t, i + 1, {w}))))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select("h")
+        )
+        grams = grams.join(F.broadcast(hot), "h", "left_anti")
+    a, b = grams.alias("a"), grams.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").cast("long").alias("pa"),
+        F.col("b.pos").cast("long").alias("pb"),
+    )
+    diag = matches.withColumn("d", F.col("pa") - F.col("pb"))
+    run = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    spans = (
+        diag.withColumn("grp", F.col("pa") - F.row_number().over(run))
+        .groupBy("doc_a", "doc_b", "d", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + w).alias("span_len"),
+        )
+    )
+    return spans.filter(F.col("span_len") >= min_len).select(
+        "doc_a", "doc_b", "start_a", "start_b", "span_len"
+    )

@@ -2871,3 +2871,56 @@ def knn_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=5,
         rerank=_PQ_RERANK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al., ACL 2022 "ExactSubstr") —
+# gram-inverted-index formulation of the paper's suffix-array dedup
+# ---------------------------------------------------------------------------
+
+_XSUB_W, _XSUB_MINLEN = 8, 16
+
+_XSUB_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), e AS (
+      SELECT doc_id, t,
+             unnest(range(1, len(t) - {_XSUB_W - 2})) AS i
+      FROM d
+    ), g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i + {_XSUB_W - 1}], ' ')) AS h
+      FROM e
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb, a.pos - b.pos AS dg
+      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    ), r AS (
+      SELECT *, pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, dg ORDER BY pa) AS grp
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           min(pa) AS start_a, min(pb) AS start_b,
+           CAST(max(pa) - min(pa) + {_XSUB_W} AS BIGINT) AS span_len
+    FROM r GROUP BY doc_a, doc_b, dg, grp
+    HAVING max(pa) - min(pa) + {_XSUB_W} >= {_XSUB_MINLEN}
+"""
+
+
+@register_extra("dedup_exact_substring", _XSUB_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal verbatim cross-document token spans >= 16 tokens (w=8-gram
+    inverted index + diagonal-run merge; operators/dedup.py:
+    exact_substring_spans). Detection is exact — every shared span of
+    length L appears as L-w+1 consecutive diagonal gram matches — unlike
+    the minhash/simhash entries there is no recall dial; the oracle
+    replays the identical gram hashing, self-join, and islands merge in
+    DuckDB. Completes the dedup ladder: whole-doc exact → near-dup
+    (jaccard/minhash/simhash/embedding) → sub-document exact spans."""
+    from parallel_dataflow_spark.operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(
+        _t(spark, sf_dir, "documents"), w=_XSUB_W, min_len=_XSUB_MINLEN
+    )

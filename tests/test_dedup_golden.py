@@ -180,3 +180,47 @@ def test_jaccard_lsh_equals_all_pairs_kernel(spark):
     want = sorted(tuple(r) for r in jaccard_pairs(docs, threshold=0.5).collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_exact_substring_spans_golden(spark):
+    """Hand-crafted corpus pinning the ExactSubstr semantics: maximal-run
+    merge (one row per maximal span, never its sub-spans), the min_len
+    boundary (a 15-token share at min_len=16 is silent; 16 reports),
+    multi-diagonal repeats, and the df-cap dial."""
+    from parallel_dataflow_spark.operators.dedup import exact_substring_spans
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    shared = words("s", 20)          # 20-token exact span
+    short = words("x", 15)           # below min_len=16
+    boiler = words("b", 16)          # boilerplate shared by 3 docs
+    docs = [
+        (0, shared + " " + words("a", 5)),
+        (1, words("c", 3) + " " + shared),
+        (2, short + " " + words("d", 9)),
+        (3, words("e", 9) + " " + short),
+        (4, boiler), (5, boiler), (6, boiler),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len)
+        for r in exact_substring_spans(df, w=8, min_len=16).collect()
+    }
+    assert (0, 1, 0, 3, 20) in got            # maximal, offsets right
+    assert not any(r[:2] == (2, 3) for r in got)   # 15 < min_len
+    # one maximal span per pair — no sub-span rows for (0,1)
+    assert sum(1 for r in got if r[:2] == (0, 1)) == 1
+    # boilerplate trio: all three pairs, full 16 tokens
+    for pair in [(4, 5), (4, 6), (5, 6)]:
+        assert (*pair, 0, 0, 16) in got
+    assert len(got) == 4
+
+    # df-cap: grams in >2 docs dropped -> boilerplate trio vanishes,
+    # the 2-doc span survives
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in exact_substring_spans(df, w=8, min_len=16, max_gram_df=2).collect()
+    }
+    assert capped == {(0, 1)}
