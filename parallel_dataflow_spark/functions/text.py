@@ -139,3 +139,36 @@ def quality_score_expr(text: Column) -> Column:
         + (F.lit(1.0) - F.least(punct * 10.0, F.lit(1.0))) * 0.2
     )
     return F.round(score, 4)
+
+
+# --- PII detection / redaction -------------------------------------------
+# Patterns restricted to constructs where Java regex (Spark) and RE2
+# (DuckDB) agree — greedy character classes, no backreferences, no
+# lookaround — so a DuckDB twin can replay redaction byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\-]{7,14}\d", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def pii_counts_expr(text: Column) -> dict[str, Column]:
+    """Per-category PII occurrence counts (JVM regexp_count)."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact_expr(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder. Applied in
+    PII_PATTERNS order (email before ipv4 etc.) — the order is part of
+    the contract since a phone-like substring inside an already-redacted
+    email can no longer match. Pure Catalyst chain: scan-side, codegen,
+    no Python; at 100 TB this is a free rider on whatever scan already
+    reads the text column."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -27,6 +27,10 @@ QUERIES = [
     "pipeline_clean_corpus",       # composed filter+dedup-keeper plan
     "events_asof_prior_click",     # window-pass as-of join tie-breaks
     "bigram_logprob_docs",         # two-level agg + broadcast LM join
+    "knn_pq_adc_top5",             # PQ training means fold floats in
+                                   # partition order — the 6-dp rounding
+                                   # contract must absorb it at any level
+    "dedup_exact_substring",       # gram join + diagonal islands merge
 ]
 
 _PROBE = r"""
