@@ -2924,3 +2924,61 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(
         _t(spark, sf_dir, "documents"), w=_XSUB_W, min_len=_XSUB_MINLEN
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture resampling toward uniform per-source token share
+# (the data-mixing step of LLM corpus construction; cf. DoReMi, public)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+    WITH d AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tok,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS u
+      FROM documents
+    ), totals AS (
+      SELECT source, sum(n_tok) AS tokens_total FROM d GROUP BY source
+    ), shares AS (
+      SELECT source, tokens_total,
+             CAST(1.0 AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE) AS share
+      FROM totals
+    ), capped AS (
+      SELECT *, min(CAST(tokens_total AS DOUBLE) / share) OVER () AS cap
+      FROM shares
+    ), rates AS (
+      SELECT source, tokens_total,
+             round(least(CAST(1.0 AS DOUBLE),
+                         share * cap / CAST(tokens_total AS DOUBLE)), 9) AS rate
+      FROM capped
+    ), kept AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS docs_kept,
+             CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept
+      FROM d JOIN rates r ON r.source = d.source
+      WHERE d.u < CAST(floor(r.rate * 1000000) AS BIGINT)
+      GROUP BY d.source
+    )
+    SELECT r.source, r.tokens_total, r.rate,
+           coalesce(k.docs_kept, 0) AS docs_kept,
+           coalesce(k.tokens_kept, 0) AS tokens_kept,
+           round(CAST(coalesce(k.tokens_kept, 0) AS DOUBLE)
+                 / sum(coalesce(k.tokens_kept, 0)) OVER (), 6) AS achieved_share
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+"""
+
+
+@register_extra("resample_uniform_mix", _MIX_ORACLE)
+def resample_uniform_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling to uniform per-source token share
+    (operators/mixing.py: resample_to_mix, target=None): never upsamples
+    — the binding source keeps rate 1.0, every other source thins by the
+    seedless md5_60(doc_id) hash, so the kept set is independent of
+    partitioning and replayable. Both aggregates shuffle one row per
+    source; the rate table broadcasts; nothing doc-sized moves. The
+    oracle replays the identical double expression tree (explicit DOUBLE
+    casts — DuckDB's bare 1.0 is DECIMAL) plus hash predicate."""
+    from parallel_dataflow_spark.operators.mixing import resample_to_mix
+
+    return resample_to_mix(_t(spark, sf_dir, "documents"))
