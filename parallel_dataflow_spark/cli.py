@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
-            "pipeline", "neardup", "drift",
+            "pipeline", "neardup", "drift", "mix",
         ],
         default="tumbling",
     )
@@ -199,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
             "pipeline": J.run_pipeline_job,
             "neardup": J.run_neardup_job,
             "drift": J.run_drift_job,
+            "mix": J.run_mix_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

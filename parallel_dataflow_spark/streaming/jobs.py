@@ -645,3 +645,140 @@ def drift_report(hist: DataFrame) -> DataFrame:
         F.first(F.col("stot").cast("long")).alias("n_tokens"),
         F.round(F.sum(term), 6).alias("js_div"),
     )
+
+
+def calibrate_mix_rates(
+    spark: SparkSession,
+    input_dir: str,
+    target: dict[str, float] | None = None,
+) -> list[tuple[str, int]]:
+    """Offline mixture calibration for run_mix_job (the lambda pattern:
+    rates are computed batch-side over a calibration corpus, then applied
+    as a static broadcast in the stream). Same math as
+    operators/mixing.resample_to_mix: cap = min_s(T_s / f_s), rate =
+    f_s * cap / T_s, never upsampling. Returns (source, threshold) with
+    threshold = floor(round(rate, 9) * 1e6) ready for the stream's
+    md5_60(doc_id) mod 1e6 acceptance test."""
+    from pyspark.sql import functions as F
+
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    totals = (
+        read_sequence_table(spark, input_dir)
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("t"))
+        .collect()
+    )
+    shares = {
+        r["source"]: (target[r["source"]] if target else 1.0 / len(totals))
+        for r in totals
+    }
+    cap = min(r["t"] / shares[r["source"]] for r in totals)
+    return [
+        (
+            r["source"],
+            int(
+                min(1.0, round(shares[r["source"]] * cap / r["t"], 9)) * 1_000_000
+            ),
+        )
+        for r in totals
+    ]
+
+
+def _mix_kept(stream, rates: list[tuple[str, int]]):
+    """Shared stream/batch mix plan: broadcast threshold join + seedless
+    hash acceptance, token arrays projected away BEFORE any exchange."""
+    from pyspark.sql import functions as F
+
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    spark = stream.sparkSession
+    rdf = spark.createDataFrame(rates, "source string, thresh long")
+    u = F.pmod(md5_60bit(F.col("doc_id")), F.lit(1_000_000))
+    return (
+        stream.select("doc_id", "source", "n_tok", "event_ts")
+        .withColumn("u", u)
+        .join(F.broadcast(rdf), "source")
+        .filter(F.col("u") < F.col("thresh"))
+    )
+
+
+def run_mix_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    rates: list[tuple[str, int]] | None = None,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming mixture resampler — the deployable twin of the batch
+    ``resample_uniform_mix`` entry: documents are accepted by the
+    batch-calibrated per-source hash threshold (``rates``; calibrated
+    from ``input_dir`` itself when None) and the kept volume is published
+    per (source, window) to an exactly-once sink keyed
+    (source, window_start).
+
+    Scale shape: acceptance is a map-side hash test against a broadcast
+    source-count-sized threshold table — rejected rows die before any
+    exchange, token arrays are projected away first, and the stateful
+    shuffle carries one (source, window) partial per map task. The kept
+    stream itself (not aggregated here) would flow to downstream sinks
+    at the same cost as the input scan."""
+    from pyspark.sql import functions as F
+
+    if rates is None:
+        rates = calibrate_mix_rates(spark, input_dir)
+    sink = make_sink(spark, work_dir, ["source", "window_start"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    agg = (
+        _mix_kept(stream, rates)
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "source")
+        .agg(
+            F.count("*").cast("long").alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "docs_kept",
+            "tokens_kept",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_mix_golden(
+    spark: SparkSession,
+    input_dir: str,
+    rates: list[tuple[str, int]],
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Batch twin of run_mix_job's kept-volume table (the stream-vs-batch
+    differential golden)."""
+    from pyspark.sql import functions as F
+
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    return (
+        _mix_kept(read_sequence_table(spark, input_dir), rates)
+        .groupBy(F.window("event_ts", window).alias("w"), "source")
+        .agg(
+            F.count("*").cast("long").alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "docs_kept",
+            "tokens_kept",
+        )
+    )
