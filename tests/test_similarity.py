@@ -212,3 +212,27 @@ def test_pq_topk_matches_numpy_spec_and_recall(spark):
     hits = sum(len(by_q[q] & exact_top[q]) for q in exact_top)
     recall = hits / (5 * len(exact_top))
     assert recall >= 0.85, f"PQ+rerank recall@5 {recall:.2f} < 0.85"
+
+def test_ivf_pq_recall_gate(spark):
+    """IVF-PQ recall@5 vs exact squared-L2 (the nprobe/rerank dials at
+    their entry operating point: kc=8, nprobe=2, R=50 -> 0.88 measured)."""
+    from parallel_dataflow_spark.operators.similarity import ivf_pq_topk
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t["vec_id"])
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+    got = ivf_pq_topk(load_table(spark, SF_DIR, "embeddings")).collect()
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+
+    hits = 0
+    for qi in range(5):
+        q = emb[ids == qi][0]
+        d = ((emb - q) ** 2).sum(1)
+        exact = [int(ids[i]) for i in np.argsort(d, kind="stable") if ids[i] != qi][:5]
+        hits += len(set(exact) & by_q[qi])
+    recall = hits / 25
+    assert recall >= 0.8, f"IVF-PQ recall@5 {recall:.2f} < 0.8"
