@@ -380,24 +380,7 @@ def pq_topk(
     books, dsub = pq_fit(emb, m, k, iters)
     codes = pq_encode(emb, books, dsub)
     qrows = emb.filter(F.col("doc_id") < n_queries).orderBy("doc_id").collect()
-    spark = embeddings.sparkSession
-    qdata = []
-    for qr in qrows:
-        qv = [float(v) for v in qr["emb"]]
-        tables = []
-        for s in range(m):
-            qsub = qv[s * dsub : (s + 1) * dsub]
-            tables.append(
-                [
-                    round(sum((a - b) * (a - b) for a, b in zip(qsub, cent)), 6)
-                    for cent in books[s]
-                ]
-            )
-        qdata.append((int(qr["doc_id"]), qv, *tables))
-    tcols = ", ".join(f"t{s} array<double>" for s in range(m))
-    qdf = spark.createDataFrame(
-        qdata, schema=f"query_id bigint, q_emb array<double>, {tcols}"
-    )
+    qdf = _adc_query_frame(embeddings.sparkSession, qrows, books, dsub)
     terms = [
         F.element_at(F.col(f"t{s}"), F.col(f"code_{s}") + 1) for s in range(m)
     ]
@@ -420,28 +403,7 @@ def pq_topk(
     shortlist = adc_ranked.filter(F.col("rank") <= rerank).select(
         "query_id", "vec_id"
     )
-    exact = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("q_emb"), F.col("emb"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
-    )
-    rr = (
-        F.broadcast(shortlist)
-        .join(emb.withColumnRenamed("doc_id", "vec_id"), "vec_id")
-        .join(F.broadcast(qdf.select("query_id", "q_emb")), "query_id")
-        .select("query_id", "vec_id", exact.alias("dist"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("vec_id").asc()
-    )
-    return rr.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= topk
-    )
+    return _exact_rerank(emb, shortlist, qdf, topk)
 
 
 def _adc_query_frame(spark, qrows, books: list[list[list[float]]], dsub: int):
