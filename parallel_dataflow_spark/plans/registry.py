@@ -2127,7 +2127,7 @@ LAZY_ORACLE_SQL["cep_token_pattern_stream"] = _cep_oracle_sql
 # oracle parity via tests/test_extra_queries.py.
 # ---------------------------------------------------------------------------
 
-_CLUSTER_ORACLE = (
+_CLUSTER_CTES = (
     "WITH RECURSIVE pairs AS ("
     + _JACCARD_ORACLE.format(band=50, thr=0.5)
     + """
@@ -2144,7 +2144,12 @@ _CLUSTER_ORACLE = (
     ), lab AS (
       SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-    )
+    )"""
+)
+
+_CLUSTER_ORACLE = (
+    _CLUSTER_CTES
+    + """
     SELECT doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM lab
@@ -2161,21 +2166,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jumping (operators/graph.py) — the label frame the loop shuffles is
     two int64 columns, never text. Oracle: DuckDB recursive-CTE reachable
     set + min aggregation (exact transitive closure)."""
+    lab = _cluster_labels(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) near-dup cluster labels: jaccard-LSH edges →
+    connected components, singletons labeled by their own doc_id."""
     from parallel_dataflow_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs_lsh(docs, threshold=0.5)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    lab = (
+    return (
         docs.select("doc_id")
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
             "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
         )
-    )
-    w = Window.partitionBy("cluster_id")
-    return lab.select(
-        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
     )
 
 
@@ -3105,4 +3116,49 @@ def knn_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk=5,
         n_queries=5,
         rerank=_IVFPQ_RERANK,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split — split by near-dup CLUSTER, not by
+# document, so no near-duplicate pair ever straddles train and eval
+# (the eval-contamination failure mode of naive per-doc splits; cf. the
+# dedup/decontamination findings of Lee et al. 2022, public)
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = (
+    _CLUSTER_CTES
+    + """,
+    u AS (
+      SELECT doc_id, cluster_id,
+             CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000 AS h
+      FROM lab
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN h < 800 THEN 'train'
+                WHEN h < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """
+)
+
+
+@register_extra("split_leakage_safe", _SPLIT_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment hashed on the near-dup CLUSTER
+    id (md5_60(cluster_id) mod 1000), so every member of a duplicate
+    cluster lands in the same split by construction — zero near-dup
+    leakage across train/eval. Deterministic and seedless like every
+    sampling decision in this engine; at scale this is the same two
+    shuffles as dedup_clusters plus a scan-side hash. The oracle reuses
+    the exact recursive-CTE transitive closure and replays the hash."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    lab = _cluster_labels(spark, sf_dir)
+    h = F.pmod(md5_60bit(F.col("cluster_id").cast("string")), F.lit(1000))
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < 800, "train").when(h < 900, "val").otherwise("test").alias("split"),
     )

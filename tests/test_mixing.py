@@ -52,3 +52,33 @@ def test_resample_uniform_invariants(spark):
     assert max(expected_kept) - min(expected_kept) < 1e-2
     # realized shares still sum to 1
     assert abs(sum(r["achieved_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_split_leakage_safe_invariants(spark):
+    """No near-dup pair straddles splits (the whole point), fractions
+    near 80/10/10, assignment purely cluster-determined."""
+    from parallel_dataflow_spark.operators import dedup as dd
+    from parallel_dataflow_spark.plans.registry import split_leakage_safe
+    from parallel_dataflow_spark.sources.tables import load_table
+
+    rows = split_leakage_safe(spark, SF_DIR).collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(rows) == 500
+
+    pairs = dd.jaccard_pairs_lsh(
+        load_table(spark, SF_DIR, "documents"), threshold=0.5
+    ).collect()
+    assert pairs, "corpus must have near-dup pairs for this to mean anything"
+    for p in pairs:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+        assert cluster_of[p["doc_a"]] == cluster_of[p["doc_b"]]
+
+    # same cluster -> same split, and fractions are hash-plausible
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    n = len(rows)
+    frac_train = sum(1 for r in rows if r["split"] == "train") / n
+    assert 0.7 < frac_train < 0.9
