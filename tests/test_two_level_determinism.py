@@ -31,6 +31,10 @@ QUERIES = [
                                    # partition order — the 6-dp rounding
                                    # contract must absorb it at any level
     "dedup_exact_substring",       # gram join + diagonal islands merge
+    "knn_ivf_pq_top5",             # coarse + PQ Lloyd means both fold in
+                                   # partition order under the 6-dp contract
+    "resample_uniform_mix",        # rate doubles from exact int64 totals;
+                                   # hash acceptance partition-independent
 ]
 
 _PROBE = r"""
