@@ -237,7 +237,7 @@ def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
 
-@register(
+@register_extra(
     "anti_join_no_orders",
     """
     SELECT c_custkey, c_name
@@ -322,7 +322,7 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "pivot_qty_by_status",
     """
     SELECT l_returnflag,
@@ -407,7 +407,7 @@ def setop_nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust_n.intersect(supp_n)
 
 
-@register(
+@register_extra(
     "distinct_customers_per_priority",
     """
     SELECT o_orderpriority,
@@ -937,7 +937,7 @@ _HH_BIGRAM_ORACLE = """
 """
 
 
-@register_extra("heavy_hitter_bigrams_mg", _HH_BIGRAM_ORACLE)
+@register("heavy_hitter_bigrams_mg", _HH_BIGRAM_ORACLE)
 def heavy_hitter_bigrams_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every word bigram with corpus share >= 0.15%, found with bounded
     memory: per-partition Misra-Gries candidate summaries (no false
@@ -988,7 +988,7 @@ _DECONTAM_ORACLE = """
 """
 
 
-@register_extra("decontaminate_ngram", _DECONTAM_ORACLE)
+@register("decontaminate_ngram", _DECONTAM_ORACLE)
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any word 4-gram with
     a held-out eval split (source='src19'), with the count of distinct
@@ -1087,7 +1087,7 @@ _PACK_ORACLE = """
 """
 
 
-@register_extra("pack_sequences_greedy", _PACK_ORACLE)
+@register("pack_sequences_greedy", _PACK_ORACLE)
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing into 128-token context bins, greedy in doc_id
     order per source (operators/packing.py) — the inherently-sequential
@@ -1105,7 +1105,7 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "knn_cosine_top5",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
@@ -1155,9 +1155,11 @@ def knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_extra("knn_cosine_bruteforce_pandas")
 def knn_cosine_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numpy-matmul partial top-k per partition (mapInPandas) + global
-    top-k. Extra tier: subsumed in the driver window by knn_cosine_top5
-    (exact, oracle-green) + knn_cosine_ivf (the LSH scale path); still
-    covered by tests/test_similarity.py and test_extra_queries.py."""
+    top-k. Extra tier: subsumed in the driver window by knn_cosine_ivf
+    (the LSH scale path) + knn_ivf_pq_top5 (the compressed billion-scale
+    path); exact brute-force twin knn_cosine_top5 is also extra-tier since
+    the round-5 window rotation. Still covered by tests/test_similarity.py
+    and test_extra_queries.py."""
     e = _t(spark, sf_dir, "embeddings")
     qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
@@ -1214,7 +1216,7 @@ def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "token_count_regex",
     """
     SELECT source,
@@ -1348,11 +1350,17 @@ _EXCEPT_SQL = """
     ORDER BY custkey
 """
 
-for _name, _sql, _tabs in (
-    ("scalar_subquery_above_avg", _SCALAR_SUBQ_SQL, ("orders",)),
-    ("exists_urgent_customers", _EXISTS_SUBQ_SQL, ("customer", "nation", "orders")),
-    ("not_in_negative_balance", _NOT_IN_SUBQ_SQL, ("orders", "customer")),
-    ("setop_urgent_minus_lowbal", _EXCEPT_SQL, ("orders", "customer")),
+# scalar_subquery_above_avg stays in the graded window (the one scalar-
+# subquery plan shape); EXISTS / NOT IN / EXCEPT are demoted to the extra
+# tier — their physical plans (left-semi, null-aware left-anti, except) are
+# already exercised by graded siblings (semi_join_big_spenders,
+# setop_nations_cust_and_supp), and the freed slots grade the LLM-pipeline
+# flagships instead (round-5 window rotation).
+for _name, _sql, _tabs, _reg in (
+    ("scalar_subquery_above_avg", _SCALAR_SUBQ_SQL, ("orders",), register),
+    ("exists_urgent_customers", _EXISTS_SUBQ_SQL, ("customer", "nation", "orders"), register_extra),
+    ("not_in_negative_balance", _NOT_IN_SUBQ_SQL, ("orders", "customer"), register_extra),
+    ("setop_urgent_minus_lowbal", _EXCEPT_SQL, ("orders", "customer"), register_extra),
 ):
     _fn = _sql_query(_sql, _tabs)
     _fn.__name__ = _name
@@ -1361,7 +1369,7 @@ for _name, _sql, _tabs in (
         "(Catalyst subquery planning) and DuckDB (the oracle IS the "
         "query string)."
     )
-    register(_name, _sql)(_fn)
+    _reg(_name, _sql)(_fn)
 
 
 @register(
@@ -2157,7 +2165,7 @@ _CLUSTER_ORACLE = (
 )
 
 
-@register_extra("dedup_clusters", _CLUSTER_ORACLE)
+@register("dedup_clusters", _CLUSTER_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the near-dup relation: every document mapped
     to its duplicate-CLUSTER id (canonical min doc_id member) + cluster
@@ -2705,7 +2713,7 @@ def _kmeans_oracle() -> str:
     )
 
 
-@register_extra("embedding_kmeans", _kmeans_oracle())
+@register("embedding_kmeans", _kmeans_oracle())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means assignment over the embeddings table (K=8, 3
     iterations) — see operators/similarity.kmeans_assign for the
@@ -2920,7 +2928,7 @@ _XSUB_ORACLE = f"""
 """
 
 
-@register_extra("dedup_exact_substring", _XSUB_ORACLE)
+@register("dedup_exact_substring", _XSUB_ORACLE)
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal verbatim cross-document token spans >= 16 tokens (w=8-gram
     inverted index + diagonal-run merge; operators/dedup.py:
@@ -3092,7 +3100,7 @@ def _ivf_pq_oracle() -> str:
     )
 
 
-@register_extra("knn_ivf_pq_top5", _ivf_pq_oracle())
+@register("knn_ivf_pq_top5", _ivf_pq_oracle())
 def knn_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-5 (operators/similarity.py: ivf_pq_topk) —
     coarse 8-centroid inverted lists probed at nprobe=2 prune the
@@ -3144,7 +3152,7 @@ _SPLIT_ORACLE = (
 )
 
 
-@register_extra("split_leakage_safe", _SPLIT_ORACLE)
+@register("split_leakage_safe", _SPLIT_ORACLE)
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 train/val/test assignment hashed on the near-dup CLUSTER
     id (md5_60(cluster_id) mod 1000), so every member of a duplicate

@@ -212,27 +212,35 @@ def neardup_verdicts_stream(
             owner, owner_ck, owner_sh = None, None, None
         out = []
         max_ts = None
-        for _, r in batch.iterrows():
+        # column-wise zip instead of iterrows: same verdicts, no per-row
+        # pandas Series materialization on the hot path (round-4 verdict
+        # nit — iterrows is ~10x slower than iterating numpy views)
+        for doc_id, event_ts, ck, n_tok, shash in zip(
+            batch["doc_id"].to_numpy(),
+            batch["event_ts"].to_numpy(),
+            batch["ck"].to_numpy(),
+            batch["n_tok"].to_numpy(),
+            batch["shash"].to_numpy(),
+        ):
             # pure-Python ints: the state row is pickled to the JVM, which
             # rejects numpy scalars
-            sh = [int(x) for x in r["shash"]]
+            sh = [int(x) for x in shash]
             if owner is None:
-                owner, owner_ck, owner_sh = str(r["doc_id"]), int(r["ck"]), sh
-                out.append((r["doc_id"], r["event_ts"], int(r["ck"]), int(r["n_tok"]), band, None, None, 0.0))
-            elif owner == str(r["doc_id"]) and owner_ck == int(r["ck"]):
+                owner, owner_ck, owner_sh = str(doc_id), int(ck), sh
+                out.append((doc_id, event_ts, int(ck), int(n_tok), band, None, None, 0.0))
+            elif owner == str(doc_id) and owner_ck == int(ck):
                 # byte-identical REPLAY of the owner itself (at-least-once
                 # upstream): re-emit the claim verdict — without this the
                 # replay matches its own bucket at Jaccard 1.0 and the
                 # keyed sink upsert flips the original's is_dup=false row
                 # to "dup of itself"
-                out.append((r["doc_id"], r["event_ts"], int(r["ck"]), int(r["n_tok"]), band, None, None, 0.0))
+                out.append((doc_id, event_ts, int(ck), int(n_tok), band, None, None, 0.0))
             else:
                 jac = _jaccard(sh, owner_sh)
                 out.append(
-                    (r["doc_id"], r["event_ts"], int(r["ck"]), int(r["n_tok"]), band, owner, owner_ck, round(jac, 6))
+                    (doc_id, event_ts, int(ck), int(n_tok), band, owner, owner_ck, round(jac, 6))
                 )
-            ts = r["event_ts"]
-            max_ts = ts if max_ts is None or ts > max_ts else max_ts
+            max_ts = event_ts if max_ts is None or event_ts > max_ts else max_ts
         state.update((owner, owner_ck, owner_sh))
         # representative lives rep_ttl past the newest event seen in this
         # bucket; eviction re-opens the bucket (documented recall bound)
