@@ -49,9 +49,17 @@ def write_curriculum_shards(
 
 
 def read_shard_files(spark, out_dir: str) -> list[str]:
-    """The shard files in global curriculum order."""
-    return sorted(
-        os.path.join(out_dir, f)
-        for f in os.listdir(out_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
+    """The shard files in global curriculum order, listed through the
+    Hadoop FileSystem API so any scheme write_curriculum_shards can write
+    to (hdfs://, s3a://, file:/) lists the same way — os.listdir would
+    silently limit the pair to local paths."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(hconf)
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("part-") and name.endswith(".parquet"):
+            out.append(st.getPath().toString())
+    return sorted(out)

@@ -69,6 +69,23 @@ def resample_to_mix(
         share = (F.lit(1.0) / k.cast("double")).alias("share")
         shares = totals.select("source", "tokens_total", share)
     else:
+        # explicit targets must cover every observed source with a
+        # positive share — a missing source would otherwise get a NULL
+        # share, be silently excluded from the cap min, and have ALL its
+        # documents dropped by `u < thresh` with no error
+        if any(s <= 0 for s in target.values()):
+            raise ValueError(
+                f"target shares must be > 0, got {target!r}"
+            )
+        observed = {r["source"] for r in totals.select("source").collect()}
+        missing = observed - set(target)
+        if missing:
+            raise ValueError(
+                "target is missing shares for observed sources "
+                f"{sorted(missing)} — every source present in the data "
+                "must be listed (use an explicit small share to thin a "
+                "source, not omission)"
+            )
         m = F.create_map(
             *[F.lit(x) for kv in target.items() for x in kv]
         )

@@ -225,6 +225,13 @@ def kmeans_fit(
     summation-order noise.
     """
     seeds = emb.orderBy("doc_id").limit(k).collect()
+    if len(seeds) < k:
+        # fewer vectors than clusters would leave the empty-cluster
+        # carry-over (cents[c] below) indexing past the seed list — fail
+        # loudly instead of training a silently smaller codebook
+        raise ValueError(
+            f"kmeans_fit needs at least k={k} vectors, got {len(seeds)}"
+        )
     cents: list[list[float]] = [
         [round(float(v), 6) for v in r["emb"]] for r in seeds
     ]
@@ -287,6 +294,13 @@ def pq_fit(
     plans/registry.py:knn_pq_adc_top5.
     """
     seeds = emb.orderBy("doc_id").limit(k).collect()
+    if len(seeds) < k:
+        # same guard as kmeans_fit: an undersized seed list would break
+        # the books[s][c] empty-cluster carry-over (and an empty frame
+        # would crash on seeds[0] below)
+        raise ValueError(
+            f"pq_fit needs at least k={k} vectors, got {len(seeds)}"
+        )
     dim = len(seeds[0]["emb"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -3170,3 +3170,76 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(h < 800, "train").when(h < 900, "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scan/redaction (round-5: the one operator family that previously had
+# a DuckDB twin only in tests/test_pii.py, reachable via neither tier)
+# ---------------------------------------------------------------------------
+
+def _pii_oracle() -> str:
+    """Oracle generated from the SAME PII_PATTERNS tuple the Spark
+    expressions use, so pattern edits can't desynchronize the twin. The
+    patterns are restricted to the Java-regex ∩ RE2 dialect (see
+    functions/text.py), which is what makes a byte-exact DuckDB replay of
+    the redaction chain possible."""
+    from parallel_dataflow_spark.functions.text import PII_PATTERNS
+
+    cnt_cols = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    sums = ",\n           ".join(
+        f"CAST(sum(n_{name}) AS BIGINT) AS n_{name}" for name, _, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH per AS (
+      SELECT source,
+             {cnt_cols},
+             CAST(concat('0x', substr(md5({red}), 1, 15)) AS BIGINT)
+               % 1000003 AS rh
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sums},
+           CAST(sum(rh) AS BIGINT) AS redact_checksum
+    FROM per GROUP BY source ORDER BY source
+    """
+
+
+@register_extra("pii_scan", _pii_oracle())
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII audit over the documents table: occurrence counts
+    per category (email/ipv4/phone/ssn, functions/text.pii_counts_expr)
+    plus a 60-bit md5 checksum of the REDACTED text summed per source —
+    the checksum pins the redaction bytes themselves, not just the match
+    counts, so the oracle catches a drifting replacement order or a
+    dialect divergence. Pure Catalyst regexp chain: scan-side, codegen,
+    zero Python — at 100 TB this rides the same scan that already reads
+    the text column (the reference-style free-rider pattern)."""
+    from parallel_dataflow_spark.functions.text import (
+        md5_60bit,
+        pii_counts_expr,
+        pii_redact_expr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    counts = pii_counts_expr(F.col("text"))
+    per = d.select(
+        "source",
+        *[c.alias(n) for n, c in counts.items()],
+        (md5_60bit(pii_redact_expr(F.col("text"))) % F.lit(1_000_003)).alias("rh"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            *[F.sum(n).cast("long").alias(n) for n in counts],
+            F.sum("rh").cast("long").alias("redact_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -40,7 +40,14 @@ def write_bucketed(
     # LOCATION_ALREADY_EXISTS
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.split(".")[-1])
+    # managed tables in a non-default database live under
+    # warehouse/<db>.db/<table> — a bare split('.')[-1] path would miss
+    # them and saveAsTable could still hit LOCATION_ALREADY_EXISTS
+    parts = table.split(".")
+    rel = (
+        os.path.join(f"{parts[-2]}.db", parts[-1]) if len(parts) > 1 else parts[-1]
+    )
+    loc = os.path.join(warehouse.removeprefix("file:"), rel)
     if os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
     # one file per bucket: repartition on the same hash the bucketer

@@ -658,7 +658,20 @@ def calibrate_mix_rates(
     operators/mixing.resample_to_mix: cap = min_s(T_s / f_s), rate =
     f_s * cap / T_s, never upsampling. Returns (source, threshold) with
     threshold = floor(round(rate, 9) * 1e6) ready for the stream's
-    md5_60(doc_id) mod 1e6 acceptance test."""
+    md5_60(doc_id) mod 1e6 acceptance test.
+
+    Variance-under-skew caveat: rates are calibrated on TOKEN totals but
+    the stream's acceptance hashes doc_id, which in the sequence table is
+    non-unique and heavily skewed (~1% of doc_ids carry ~30% of rows), so
+    hot documents are kept or dropped WHOLESALE. The realized kept token
+    share is therefore correct in expectation but can deviate for any one
+    run when a few hot doc_ids straddle the threshold. This is a
+    deliberate trade: per-document atomicity (all sequences of a doc
+    survive together — what training-data dedup/decontamination
+    downstream assumes, and what keeps the decision replayable under
+    at-least-once redelivery) over tighter per-run share variance. Hash a
+    per-row key (e.g. doc_id || event_ts) instead only when per-document
+    consistency is explicitly not required."""
     from pyspark.sql import functions as F
 
     from parallel_dataflow_spark.sources.sequences import read_sequence_table

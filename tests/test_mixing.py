@@ -82,3 +82,19 @@ def test_split_leakage_safe_invariants(spark):
     n = len(rows)
     frac_train = sum(1 for r in rows if r["split"] == "train") / n
     assert 0.7 < frac_train < 0.9
+
+
+def test_resample_target_validation(spark):
+    """An explicit target that omits an observed source (or carries a
+    non-positive share) must raise instead of silently dropping every
+    document of the unlisted source."""
+    from parallel_dataflow_spark.operators.mixing import resample_to_mix
+
+    docs = spark.createDataFrame(
+        [(0, "srcA", "a b c"), (1, "srcB", "d e f")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError, match="missing shares.*srcB"):
+        resample_to_mix(docs, target={"srcA": 1.0}).collect()
+    with pytest.raises(ValueError, match="shares must be > 0"):
+        resample_to_mix(docs, target={"srcA": 0.5, "srcB": 0.0}).collect()

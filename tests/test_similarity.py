@@ -236,3 +236,22 @@ def test_ivf_pq_recall_gate(spark):
         hits += len(set(exact) & by_q[qi])
     recall = hits / 25
     assert recall >= 0.8, f"IVF-PQ recall@5 {recall:.2f} < 0.8"
+
+
+def test_kmeans_and_pq_fit_reject_undersized_input(spark):
+    """Fewer vectors than k must fail loudly (the empty-cluster
+    carry-over would otherwise IndexError mid-training)."""
+    import pytest as _pytest
+
+    from parallel_dataflow_spark.operators.similarity import kmeans_fit, pq_fit
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [2.0, 3.0, 4.0, 5.0])],
+        "doc_id long, emb array<double>",
+    )
+    with _pytest.raises(ValueError, match="at least k=8"):
+        kmeans_fit(emb, k=8, iters=2)
+    with _pytest.raises(ValueError, match="at least k=4"):
+        pq_fit(emb, m=2, k=4, iters=2)
+    with _pytest.raises(ValueError, match="at least k=2"):
+        pq_fit(emb.limit(0), m=2, k=2, iters=2)
