@@ -483,11 +483,20 @@ def ivf_pq_topk(
     rerank: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the composed billion-scale ANN (Jégou et al. 2011 §V —
-    coarse inverted lists + product-quantized codes; non-residual
-    variant: PQ encodes raw vectors, IVF only prunes the candidate set —
-    documented simplification, same pruning/compression structure).
+    coarse inverted lists + product-quantized codes).
+
+    ``residual=False``: PQ encodes raw vectors, IVF only prunes the
+    candidate set (simpler variant, same pruning/compression structure).
+    ``residual=True``: the paper's §V encoding — PQ quantizes the
+    residual r = x − centroid(x), which concentrates codebook capacity
+    on the within-cell variance and lifts recall at the same (nprobe,
+    M). The ADC tables then depend on the probed cell (query residual
+    q − c per probe), so the broadcast query frame carries one row per
+    (query, probed cluster) — nprobe × M × K doubles, still bytes — and
+    the probe join becomes a plain equi-join on the cluster id.
 
     Per query the ``nprobe`` nearest coarse centroids are picked
     driver-side from the K_c trained centroid literals (bytes, not
@@ -497,16 +506,35 @@ def ivf_pq_topk(
     per vector move, never floats), followed by the constant-size exact
     rerank. Pruning fraction ~ nprobe/K_c and compression M bytes/vector
     compose multiplicatively; both dials are recall/cost trade-offs
-    gated in tests. Same 6-dp determinism contract as kmeans_fit/pq_fit,
-    replayed end-to-end by the DuckDB oracle (plans/registry.py:
-    knn_ivf_pq_top5)."""
+    gated in tests. Same 6-dp determinism contract as kmeans_fit/pq_fit
+    (residuals are rounded to 6 dp on both engines), replayed end-to-end
+    by the DuckDB oracles (plans/registry.py: knn_ivf_pq_top5,
+    knn_ivf_pq_residual_top5)."""
     emb = embeddings.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     )
+    spark = embeddings.sparkSession
     cents = kmeans_fit(emb, kc, iters)
-    books, dsub = pq_fit(emb, m, k, iters)
-    enc = emb.withColumn("cluster", _kmeans_argmin(cents))
+    assigned = emb.withColumn("cluster", _kmeans_argmin(cents))
+
+    if residual:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+        )
+        res_df = assigned.withColumn(
+            "emb",
+            F.zip_with(
+                F.col("emb"),
+                F.element_at(cent_lit, F.col("cluster") + 1),
+                lambda x, c: F.round(x - c, 6),
+            ),
+        )
+        pq_input, enc = res_df.select("doc_id", "emb"), res_df
+    else:
+        pq_input, enc = emb, assigned
+    books, dsub = pq_fit(pq_input, m, k, iters)
+
     for s in range(m):
         enc = enc.withColumn(
             f"sub_{s}", F.slice("emb", s * dsub + 1, dsub)
@@ -514,8 +542,6 @@ def ivf_pq_topk(
     enc = enc.select("doc_id", "cluster", *[f"code_{s}" for s in range(m)])
 
     qrows = emb.filter(F.col("doc_id") < n_queries).orderBy("doc_id").collect()
-    spark = embeddings.sparkSession
-    qdf = _adc_query_frame(spark, qrows, books, dsub)
     probes = []
     for qr in qrows:
         qv = [float(v) for v in qr["emb"]]
@@ -527,25 +553,47 @@ def ivf_pq_topk(
             for c, cent in enumerate(cents)
         )
         probes.append((int(qr["doc_id"]), [c for _, c in ranked[:nprobe]]))
-    pdf = spark.createDataFrame(probes, "query_id bigint, probes array<int>")
-    qdf = qdf.join(pdf, "query_id")
 
     terms = [
         F.element_at(F.col(f"t{s}"), F.col(f"code_{s}") + 1) for s in range(m)
     ]
     approx = F.round(sum(terms[1:], terms[0]), 6)
-    scored = (
-        enc.join(
-            F.broadcast(qdf.drop("q_emb")),
-            F.array_contains(F.col("probes"), F.col("cluster"))
-            & (F.col("doc_id") != F.col("query_id")),
+
+    if residual:
+        # one broadcast row per (query, probed cluster): ADC tables of the
+        # query RESIDUAL vs the residual codebooks; probe set expressed as
+        # an equi-join on the coarse cluster id
+        qdf = _adc_query_frame_residual(spark, qrows, probes, cents, books, dsub)
+        scored = (
+            enc.join(
+                F.broadcast(qdf.drop("q_emb")),
+                (F.col("cluster") == F.col("pcluster"))
+                & (F.col("doc_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("doc_id").alias("vec_id"),
+                approx.alias("approx_dist"),
+            )
         )
-        .select(
-            "query_id",
-            F.col("doc_id").alias("vec_id"),
-            approx.alias("approx_dist"),
+        rerank_qdf = qdf.select("query_id", "q_emb").dropDuplicates(["query_id"])
+    else:
+        qdf = _adc_query_frame(spark, qrows, books, dsub)
+        pdf = spark.createDataFrame(probes, "query_id bigint, probes array<int>")
+        qdf = qdf.join(pdf, "query_id")
+        scored = (
+            enc.join(
+                F.broadcast(qdf.drop("q_emb")),
+                F.array_contains(F.col("probes"), F.col("cluster"))
+                & (F.col("doc_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("doc_id").alias("vec_id"),
+                approx.alias("approx_dist"),
+            )
         )
-    )
+        rerank_qdf = qdf
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("vec_id").asc()
     )
@@ -554,4 +602,43 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= rerank)
         .select("query_id", "vec_id")
     )
-    return _exact_rerank(emb, shortlist, qdf, topk)
+    return _exact_rerank(emb, shortlist, rerank_qdf, topk)
+
+
+def _adc_query_frame_residual(
+    spark,
+    qrows,
+    probes: list[tuple[int, list[int]]],
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    dsub: int,
+):
+    """(query_id, pcluster, q_emb, t0..t{M-1}) frame for residual IVF-PQ:
+    per probed coarse cell, the query residual q − c (6-dp rounded like
+    the database residuals) is tabled against the residual codebooks —
+    nprobe rows per query, M*K doubles each."""
+    m = len(books)
+    probe_map = dict(probes)
+    qdata = []
+    for qr in qrows:
+        qid = int(qr["doc_id"])
+        qv = [float(v) for v in qr["emb"]]
+        for c in probe_map[qid]:
+            qres = [round(x - cv, 6) for x, cv in zip(qv, cents[c])]
+            tables = []
+            for s in range(m):
+                qsub = qres[s * dsub : (s + 1) * dsub]
+                tables.append(
+                    [
+                        round(
+                            sum((a - b) * (a - b) for a, b in zip(qsub, cent)), 6
+                        )
+                        for cent in books[s]
+                    ]
+                )
+            qdata.append((qid, int(c), qv, *tables))
+    tcols = ", ".join(f"t{s} array<double>" for s in range(m))
+    return spark.createDataFrame(
+        qdata,
+        schema=f"query_id bigint, pcluster int, q_emb array<double>, {tcols}",
+    )

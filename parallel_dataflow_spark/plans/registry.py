@@ -3108,10 +3108,12 @@ def knn_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/K_c and M-byte code compression compose multiplicatively; at
     10^9 vectors with K_c=4096/nprobe=64 the scan touches ~1.5% of the
     corpus and moves no floats), then the ADC top-50 shortlist is exactly
-    re-ranked. Non-residual PQ variant (codes quantize raw vectors) —
-    documented simplification of Jégou 2011 §V; recall@5 0.88 on this
-    corpus, gated >=0.8 in tests. The oracle replays coarse Lloyd, probe
-    selection, PQ codebooks, ADC, and rerank as one CTE chain."""
+    re-ranked. Non-residual PQ variant (codes quantize raw vectors);
+    recall@5 0.88 on this corpus, gated >=0.8 in tests. The
+    paper-faithful residual encoding is knn_ivf_pq_residual_top5 (extra
+    tier, recall 0.92, strictly better ADC ordering under compression
+    stress). The oracle replays coarse Lloyd, probe selection, PQ
+    codebooks, ADC, and rerank as one CTE chain."""
     from parallel_dataflow_spark.operators.similarity import ivf_pq_topk
 
     return ivf_pq_topk(
@@ -3124,6 +3126,231 @@ def knn_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk=5,
         n_queries=5,
         rerank=_IVFPQ_RERANK,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (Jégou et al. 2011 §V, the paper's actual encoding):
+# PQ quantizes r = x − centroid(x) instead of x, concentrating codebook
+# capacity on within-cell variance. ADC tables become per-(query, probed
+# cell); the probe join turns into a plain equi-join on the cluster id.
+# ---------------------------------------------------------------------------
+
+_IVFPQR_ITERS = 3  # 2 Lloyd mean updates, coarse and per-subspace alike
+
+
+def _pq_subspace_ctes_res(s: int, iters: int) -> list[str]:
+    """_pq_subspace_ctes generalized to (a) train over the residual table
+    ``er`` and (b) an arbitrary unroll depth; the ADC table ``dtr_{s}``
+    keys on (qid, pcluster, cluster) because the query residual depends
+    on which coarse cell is probed."""
+    lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+    dist = (
+        "round(list_sum(list_transform(list_zip({v}, c.cent),"
+        " x -> (x[1] - x[2])^2)), 6)"
+    )
+    argmin = """
+    ra{it}_{s} AS (
+      SELECT doc_id, cluster FROM (
+        SELECT doc_id, cluster,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM rd{it}_{s}
+      ) WHERE rn = 1
+    )"""
+    ctes = [
+        f"""
+    res{s} AS (SELECT doc_id, emb[{lo}:{hi}] AS sub FROM er)""",
+        f"""
+    rc0_{s} AS (
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS cluster,
+             list_transform(sub, x -> round(x, 6)) AS cent
+      FROM (SELECT doc_id, sub FROM res{s} ORDER BY doc_id LIMIT {_PQ_K})
+    )""",
+    ]
+    for it in range(1, iters):
+        ctes.append(
+            f"""
+    rd{it}_{s} AS (
+      SELECT e.doc_id, c.cluster, {dist.format(v='e.sub')} AS dist
+      FROM res{s} e CROSS JOIN rc{it - 1}_{s} c
+    )"""
+        )
+        ctes.append(argmin.format(it=it, s=s))
+        ctes.append(
+            f"""
+    rm{it}_{s} AS (
+      SELECT a.cluster, i, round(avg(x), 6) AS v FROM (
+        SELECT doc_id, unnest(sub) AS x, generate_subscripts(sub, 1) AS i
+        FROM res{s}
+      ) u JOIN ra{it}_{s} a ON u.doc_id = a.doc_id
+      GROUP BY a.cluster, i
+    )""",
+        )
+        ctes.append(
+            f"""
+    rc{it}_{s} AS (
+      SELECT p.cluster, coalesce(l.cent, p.cent) AS cent
+      FROM rc{it - 1}_{s} p LEFT JOIN (
+        SELECT cluster, list(v ORDER BY i) AS cent FROM rm{it}_{s} GROUP BY cluster
+      ) l ON p.cluster = l.cluster
+    )"""
+        )
+    ctes.append(
+        f"""
+    rd{iters}_{s} AS (
+      SELECT e.doc_id, c.cluster, {dist.format(v='e.sub')} AS dist
+      FROM res{s} e CROSS JOIN rc{iters - 1}_{s} c
+    )"""
+    )
+    ctes.append(argmin.format(it=iters, s=s))
+    ctes.append(
+        f"""
+    dtr_{s} AS (
+      SELECT qr.qid, qr.pcluster, c.cluster,
+             {dist.format(v=f'qr.emb[{lo}:{hi}]')} AS d
+      FROM qr CROSS JOIN rc{iters - 1}_{s} c
+    )"""
+    )
+    return ctes
+
+
+def _ivf_pq_residual_oracle() -> str:
+    it = _IVFPQR_ITERS
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT doc_id, emb FROM e WHERE doc_id < 5),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS cluster,
+             list_transform(emb, x -> round(x, 6)) AS cent
+      FROM (SELECT doc_id, emb FROM e ORDER BY doc_id LIMIT {_IVFPQ_KC})
+    )"""
+    ]
+    # coarse Lloyd chain: iters=3 → two mean updates, final codebook
+    # c{it-1}, final assignment a{it}
+    for i in range(1, it):
+        parts.append(_kmeans_dist_cte(f"c{i - 1}", str(i)))
+        parts.append(_kmeans_mean_cte(f"a{i}", f"c{i - 1}", f"c{i}"))
+    parts.append(_kmeans_dist_cte(f"c{it - 1}", str(it)))
+    parts.append(
+        f"""
+    qdc AS (
+      SELECT q.doc_id AS qid, c.cluster,
+             round(list_sum(list_transform(list_zip(q.emb, c.cent),
+                   x -> (x[1] - x[2])^2)), 6) AS dist
+      FROM q CROSS JOIN c{it - 1} c
+    ),
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT qid, cluster,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM qdc
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    er AS (
+      SELECT e.doc_id,
+             list_transform(list_zip(e.emb, c.cent),
+                            x -> round(x[1] - x[2], 6)) AS emb
+      FROM e JOIN a{it} USING (doc_id)
+      JOIN c{it - 1} c ON c.cluster = a{it}.cluster
+    ),
+    qr AS (
+      SELECT p.qid, p.cluster AS pcluster,
+             list_transform(list_zip(q.emb, c.cent),
+                            x -> round(x[1] - x[2], 6)) AS emb
+      FROM probes p JOIN q ON q.doc_id = p.qid
+      JOIN c{it - 1} c ON c.cluster = p.cluster
+    )"""
+    )
+    for s in range(_PQ_M):
+        parts.extend(_pq_subspace_ctes_res(s, it))
+    code_joins = " ".join(
+        f"JOIN ra{it}_{s} USING (doc_id)" for s in range(1, _PQ_M)
+    )
+    code_cols = ", ".join(
+        f"ra{it}_{s}.cluster AS code{s}" if s else f"ra{it}_0.cluster AS code0"
+        for s in range(_PQ_M)
+    )
+    dt_joins = " ".join(
+        f"JOIN dtr_{s} ON dtr_{s}.qid = q.doc_id"
+        f" AND dtr_{s}.pcluster = ca.cluster"
+        f" AND dtr_{s}.cluster = v.code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"dtr_{s}.d" for s in range(_PQ_M))
+    parts.append(
+        f"""
+    codes AS (SELECT doc_id, {code_cols} FROM ra{it}_0 {code_joins}),
+    scored AS (
+      SELECT q.doc_id AS query_id, v.doc_id AS vec_id,
+             round({adc}, 6) AS approx_dist
+      FROM q CROSS JOIN codes v
+      JOIN a{it} ca ON ca.doc_id = v.doc_id
+      JOIN probes pr ON pr.qid = q.doc_id AND pr.cluster = ca.cluster
+      {dt_joins}
+      WHERE v.doc_id != q.doc_id
+    )"""
+    )
+    return (
+        ",".join(parts)
+        + f""",
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {_IVFPQ_RERANK}
+    ),
+    rr AS (
+      SELECT s.query_id, s.vec_id,
+             round(list_sum(list_transform(list_zip(qe.emb, ve.emb),
+                   x -> (x[1] - x[2])^2)), 6) AS dist
+      FROM shortlist s
+      JOIN e qe ON qe.doc_id = s.query_id
+      JOIN e ve ON ve.doc_id = s.vec_id
+    )
+    SELECT query_id, vec_id, dist, rank FROM (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rank
+      FROM rr
+    ) WHERE rank <= 5"""
+    )
+
+
+@register_extra("knn_ivf_pq_residual_top5", _ivf_pq_residual_oracle())
+def knn_ivf_pq_residual_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ approximate top-5 (operators/similarity.py:
+    ivf_pq_topk with residual=True) — the paper-faithful Jégou 2011 §V
+    encoding: PQ codebooks are trained on r = x − centroid(x), so code
+    capacity models within-cell variance instead of re-learning the
+    coarse structure. Same operating point as the graded knn_ivf_pq_top5
+    (kc=8, nprobe=2, M=4, K=8, rerank=50) at 3 Lloyd iterations: recall@5
+    0.92 on this corpus (> the non-residual entry's 0.88 at 2 iters),
+    and under compression stress the residual ADC ordering is strictly
+    better (rerank=5: 0.40 vs 0.28 — gated in tests/test_similarity.py).
+    The broadcast query frame carries nprobe rows per query (M×K doubles
+    each) and the probe predicate becomes an equi-join on the coarse
+    cluster id — still bytes moved, still no floats in the scan."""
+    from parallel_dataflow_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        kc=_IVFPQ_KC,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_IVFPQR_ITERS,
+        topk=5,
+        n_queries=5,
+        rerank=_IVFPQ_RERANK,
+        residual=True,
     )
 
 
