@@ -1,9 +1,11 @@
 """Custom keyed stateful operators on Spark 4.x transformWithStateInPandas
 (the successor API to applyInPandasWithState; SURVEY.md §2.2 'stateful
 ops'). The CEP engine (cep.py) uses applyInPandasWithState — this module
-covers the modern API surface with a running per-doc accumulator: the
-'mutable in/out values across rounds' shape of the reference's worklist
-state (impls/src/sequential.rs:23-24), re-expressed as a ValueState.
+covers the modern API surface with three processors, one per state
+primitive: RunningDocStats (ValueState — the 'mutable in/out values
+across rounds' shape of the reference's worklist state,
+impls/src/sequential.rs:23-24), CepPatternProcessor (ListState + event
+-time timers), and TokenQuotaProcessor (MapState + timer-driven purge).
 
 The per-row token work (sum/checksum) is done JVM-side BEFORE the
 stateful stage, so the state kernel only folds small numeric rows —
@@ -343,5 +345,206 @@ def running_doc_stats_batch(df: DataFrame) -> DataFrame:
             F.count("*").alias("n_seqs"),
             F.sum("n_tok").cast("long").alias("total_tokens"),
             F.pmod(F.sum("token_sum"), F.lit(_CHECKSUM_MOD)).alias("token_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Third TWS processor: MapState + timer-driven purge (the remaining state
+# primitive the ValueState accumulator and the ListState CEP buffer don't
+# touch). Per-source token-quota enforcement over event-time windows —
+# the streaming face of the graded curate_token_budget entry.
+# ---------------------------------------------------------------------------
+
+QUOTA_OUTPUT_SCHEMA = (
+    "source string, window_start bigint, admitted_tok bigint, "
+    "rejected_tok bigint, admitted_rows bigint, rejected_rows bigint"
+)
+
+
+class TokenQuotaProcessor(StatefulProcessor):
+    """MapState quota enforcer: keyed by source, a MapState maps each
+    event-time window start (µs) to the RAW token total seen so far in
+    that window. A sequence arriving in strict (event_ts, ck) order is
+    admitted iff the window's running raw total including it stays within
+    ``budget`` — the same greedy-prefix-under-cumulative-cap rule as the
+    batch curate_token_budget entry, chosen precisely because the
+    admission state is a single monotone counter: raw totals make the
+    decision independent of how rows are split across micro-batches
+    (an admitted-only counter would be a recursive fold whose result
+    depends on replay boundaries).
+
+    State hygiene: windows whose end + ttl falls behind the watermark can
+    never change (late rows are watermark-dropped), so they are purged —
+    opportunistically at input time and, for keys that stop receiving
+    rows, by ONE registered event-time timer (delete-then-register on
+    horizon change, the CepPatternProcessor discipline — a dead source
+    must not keep a map entry or a timer alive forever).
+
+    Emits per batch one row per window TOUCHED in that batch with the
+    batch's admitted/rejected token and row counts."""
+
+    def __init__(self, budget: int, window_sec: int = 3600, ttl_sec: int = 3600):
+        self._budget = int(budget)
+        self._window_us = int(window_sec) * 1_000_000
+        self._ttl_us = int(ttl_sec) * 1_000_000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._spent = handle.getMapState(
+            "window_spent", "window_start bigint", "raw_tok bigint"
+        )
+        self._timer = handle.getValueState("quota_timer", "t bigint")
+
+    def _purge_and_retime(self, wm_us: int) -> None:
+        if self._spent.exists():
+            dead = [
+                int(k[0])
+                for k in self._spent.keys()
+                if int(k[0]) + self._window_us + self._ttl_us <= wm_us
+            ]
+            for k in dead:
+                self._spent.removeKey((k,))
+        live = (
+            [int(k[0]) for k in self._spent.keys()] if self._spent.exists() else []
+        )
+        old = int(self._timer.get()[0]) if self._timer.exists() else None
+        if live:
+            t_ms = (max(live) + self._window_us + self._ttl_us) // 1000 + 1
+            t_ms = max(t_ms, wm_us // 1000 + 1)
+            if old != t_ms:
+                if old is not None:
+                    self._handle.deleteTimer(old)
+                self._handle.registerTimer(t_ms)
+                self._timer.update((t_ms,))
+        else:
+            if old is not None:
+                self._handle.deleteTimer(old)
+            self._timer.clear()
+
+    def handleInputRows(self, key, rows, timerValues):
+        new: list[tuple[int, int, int]] = []
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            ts = pdf["event_ts"].astype("datetime64[us]").astype("int64")
+            new.extend(
+                zip(
+                    ts.tolist(),
+                    pdf["n_tok"].astype("int64").tolist(),
+                    pdf["ck"].astype("int64").tolist(),
+                )
+            )
+        new.sort(key=lambda r: (r[0], r[2]))
+        stats: dict[int, list[int]] = {}
+        for ts_us, n_tok, _ck in new:
+            w = ts_us - ts_us % self._window_us
+            raw = (
+                int(self._spent.getValue((w,))[0])
+                if self._spent.exists() and self._spent.containsKey((w,))
+                else 0
+            )
+            raw += n_tok
+            self._spent.updateValue((w,), (raw,))
+            st = stats.setdefault(w, [0, 0, 0, 0])
+            if raw <= self._budget:
+                st[0] += n_tok
+                st[2] += 1
+            else:
+                st[1] += n_tok
+                st[3] += 1
+        wm_us = max(timerValues.getCurrentWatermarkInMs(), 0) * 1000
+        self._purge_and_retime(wm_us)
+        if stats:
+            ws = sorted(stats)
+            yield pd.DataFrame(
+                {
+                    "source": key[0],
+                    "window_start": ws,
+                    "admitted_tok": [stats[w][0] for w in ws],
+                    "rejected_tok": [stats[w][1] for w in ws],
+                    "admitted_rows": [stats[w][2] for w in ws],
+                    "rejected_rows": [stats[w][3] for w in ws],
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        wm_us = max(timerValues.getCurrentWatermarkInMs(), 0) * 1000
+        self._purge_and_retime(wm_us)
+        yield from ()
+
+    def close(self) -> None:
+        pass
+
+
+def quota_prestage(df: DataFrame) -> DataFrame:
+    """JVM-side pre-stage: (source, event_ts, n_tok, ck) where ck is the
+    cross-engine 60-bit doc hash that fixes the within-timestamp
+    admission order. Token arrays (if present) die here."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    return df.select(
+        "source",
+        "event_ts",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        md5_60bit(F.col("doc_id").cast("string")).alias("ck"),
+    )
+
+
+def token_quota_stream_tws(
+    stream: DataFrame,
+    budget: int,
+    window_sec: int = 3600,
+    ttl_sec: int = 3600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """transformWithStateInPandas quota path (needs protobuf —
+    tws_available; TokenQuotaProcessor carries the semantics and is
+    differential-tested against token_quota_batch on the handle
+    double)."""
+    src = quota_prestage(stream).withWatermark("event_ts", watermark)
+    return src.groupBy("source").transformWithStateInPandas(
+        statefulProcessor=TokenQuotaProcessor(budget, window_sec, ttl_sec),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+def token_quota_batch(
+    df: DataFrame, budget: int, window_sec: int = 3600
+) -> DataFrame:
+    """Batch twin (the differential golden): greedy prefix under the
+    cumulative RAW token cap per (source, window), order (event_ts, ck) —
+    one window cumsum, one aggregation."""
+    from pyspark.sql import Window as W
+
+    src = quota_prestage(df)
+    win_us = int(window_sec) * 1_000_000
+    ts_us = F.col("event_ts").cast("timestamp_ltz").cast("long") * 1_000_000
+    w = ts_us - F.pmod(ts_us, F.lit(win_us))
+    cum = F.sum("n_tok").over(
+        W.partitionBy("source", "window_start")
+        .orderBy(F.col("event_ts").asc(), F.col("ck").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    admitted = F.col("cum_tok") <= F.lit(int(budget))
+    return (
+        src.withColumn("window_start", w)
+        .withColumn("cum_tok", cum)
+        .groupBy("source", "window_start")
+        .agg(
+            F.sum(F.when(admitted, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("admitted_tok"),
+            F.sum(F.when(~admitted, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("rejected_tok"),
+            F.sum(F.when(admitted, 1).otherwise(0))
+            .cast("long")
+            .alias("admitted_rows"),
+            F.sum(F.when(~admitted, 1).otherwise(0))
+            .cast("long")
+            .alias("rejected_rows"),
         )
     )
