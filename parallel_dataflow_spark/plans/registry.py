@@ -3470,3 +3470,65 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed quota admission (batch face of the TokenQuotaProcessor /
+# token_quota_stream stateful pair — streaming/stateful.py): greedy
+# prefix under a cumulative cap per (source, event-time window)
+# ---------------------------------------------------------------------------
+
+_QUOTA_BUDGET, _QUOTA_WINDOW_SEC = 500, 3600
+
+_QUOTA_ORACLE = f"""
+    WITH src AS (
+      SELECT event_type AS source, ts,
+             CAST(floor(value) AS BIGINT) % 300 + 50 AS n_tok,
+             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS ck,
+             epoch_us(ts) - epoch_us(ts) % {_QUOTA_WINDOW_SEC * 1_000_000}
+               AS window_start
+      FROM events
+    ), c AS (
+      SELECT source, window_start, n_tok,
+             sum(n_tok) OVER (PARTITION BY source, window_start
+                              ORDER BY ts ASC, ck ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_tok
+      FROM src
+    )
+    SELECT source, window_start,
+           CAST(sum(CASE WHEN cum_tok <= {_QUOTA_BUDGET} THEN n_tok ELSE 0 END)
+                AS BIGINT) AS admitted_tok,
+           CAST(sum(CASE WHEN cum_tok > {_QUOTA_BUDGET} THEN n_tok ELSE 0 END)
+                AS BIGINT) AS rejected_tok,
+           CAST(sum(CASE WHEN cum_tok <= {_QUOTA_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS admitted_rows,
+           CAST(sum(CASE WHEN cum_tok > {_QUOTA_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS rejected_rows
+    FROM c GROUP BY source, window_start
+    ORDER BY source, window_start
+"""
+
+
+@register_extra("quota_admission_events", _QUOTA_ORACLE)
+def quota_admission_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hourly window) quota admission over the events
+    table: sequences (here: events weighted by a deterministic token
+    count derived from value) are admitted in strict (ts, hash(event_id))
+    order while the window's cumulative raw total stays within the
+    budget — the batch twin of the streaming TokenQuotaProcessor
+    (MapState TWS) / token_quota_stream (apws fallback), sharing
+    token_quota_batch verbatim. One window cumsum + one aggregation;
+    at 100 TB this is a single exchange keyed (source, window)."""
+    from parallel_dataflow_spark.streaming.stateful import token_quota_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        (F.pmod(F.floor("value").cast("long"), F.lit(300)) + 50).alias("n_tok"),
+    )
+    return token_quota_batch(ev, _QUOTA_BUDGET, _QUOTA_WINDOW_SEC).orderBy(
+        "source", "window_start"
+    )

@@ -548,3 +548,99 @@ def token_quota_batch(
             .alias("rejected_rows"),
         )
     )
+
+
+_QUOTA_STATE_SCHEMA = "wins array<bigint>, raws array<bigint>"
+
+
+def token_quota_stream(
+    stream: DataFrame,
+    budget: int,
+    window_sec: int = 3600,
+    ttl_sec: int = 3600,
+    watermark: str = "10 minutes",
+    api: str = "auto",
+) -> DataFrame:
+    """Quota enforcement with API fallback, mirroring
+    running_doc_stats_stream: 'tws' = transformWithStateInPandas
+    (TokenQuotaProcessor), 'apws' = applyInPandasWithState with the
+    SAME greedy-prefix-on-raw-totals rule (the MapState becomes two
+    parallel arrays in the single apws state tuple; EventTimeTimeout
+    replaces the registered timer for the dead-key purge)."""
+    if api == "auto":
+        api = "tws" if tws_available() else "apws"
+    if api == "tws":
+        return token_quota_stream_tws(
+            stream, budget, window_sec, ttl_sec, watermark
+        )
+
+    window_us = int(window_sec) * 1_000_000
+    ttl_us = int(ttl_sec) * 1_000_000
+    budget = int(budget)
+
+    def kernel(key, pdf_iter, state):
+        import pandas as pd  # worker-side
+
+        spent: dict[int, int] = {}
+        if state.exists:
+            wins, raws = state.get
+            spent = {int(w): int(r) for w, r in zip(wins, raws)}
+        new: list[tuple[int, int, int]] = []
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            ts = pdf["event_ts"].astype("datetime64[us]").astype("int64")
+            new.extend(
+                zip(
+                    ts.tolist(),
+                    pdf["n_tok"].astype("int64").tolist(),
+                    pdf["ck"].astype("int64").tolist(),
+                )
+            )
+        new.sort(key=lambda r: (r[0], r[2]))
+        stats: dict[int, list[int]] = {}
+        max_ts = 0
+        for ts_us, n_tok, _ck in new:
+            w = ts_us - ts_us % window_us
+            raw = spent.get(w, 0) + n_tok
+            spent[w] = raw
+            st = stats.setdefault(w, [0, 0, 0, 0])
+            if raw <= budget:
+                st[0] += n_tok
+                st[2] += 1
+            else:
+                st[1] += n_tok
+                st[3] += 1
+            max_ts = max(max_ts, ts_us)
+        wm_us = max(state.getCurrentWatermarkMs(), 0) * 1000
+        spent = {
+            w: r for w, r in spent.items() if w + window_us + ttl_us > wm_us
+        }
+        if spent:
+            ws = sorted(spent)
+            state.update((ws, [spent[w] for w in ws]))
+            horizon_ms = (max(ws) + window_us + ttl_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(horizon_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+        if stats:
+            ws = sorted(stats)
+            yield pd.DataFrame(
+                {
+                    "source": key[0],
+                    "window_start": ws,
+                    "admitted_tok": [stats[w][0] for w in ws],
+                    "rejected_tok": [stats[w][1] for w in ws],
+                    "admitted_rows": [stats[w][2] for w in ws],
+                    "rejected_rows": [stats[w][3] for w in ws],
+                }
+            )
+
+    src = quota_prestage(stream).withWatermark("event_ts", watermark)
+    return src.groupBy("source").applyInPandasWithState(
+        kernel,
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=_QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

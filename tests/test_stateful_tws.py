@@ -722,7 +722,7 @@ def test_tws_quota_end_to_end_when_protobuf_present(spark, tmp_path):
     src = str(tmp_path / "tws_quota_src")
     write_sequence_table(spark, src, 2000, seed=5, n_files=8, rows_per_sec=2)
     out = token_quota_stream_tws(
-        read_sequence_stream(spark, src, 2), budget=50_000, window_sec=600
+        read_sequence_stream(spark, src, 2), budget=2_000, window_sec=600
     )
     q = (
         out.writeStream.outputMode("append")
@@ -749,7 +749,58 @@ def test_tws_quota_end_to_end_when_protobuf_present(spark, tmp_path):
             int(r["rejected_tok"]),
         )
         for r in token_quota_batch(
-            read_sequence_table(spark, src), 50_000, 600
+            read_sequence_table(spark, src), 2_000, 600
         ).collect()
     }
     assert got == want
+
+
+def test_quota_apws_stream_matches_batch_twin(spark, tmp_path):
+    """In-sandbox end-to-end: the applyInPandasWithState quota fallback
+    (api='apws', the auto path while protobuf is absent) over a real
+    file stream == the one-cumsum batch twin, per (source, window)."""
+    from parallel_dataflow_spark.sources.sequences import (
+        read_sequence_stream,
+        read_sequence_table,
+        write_sequence_table,
+    )
+    from parallel_dataflow_spark.streaming.stateful import (
+        token_quota_batch,
+        token_quota_stream,
+    )
+
+    src = str(tmp_path / "quota_src")
+    write_sequence_table(spark, src, 2000, seed=9, n_files=8, rows_per_sec=2)
+    out = token_quota_stream(
+        read_sequence_stream(spark, src, 2),
+        budget=2_000,
+        window_sec=600,
+        api="apws",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quota_apws_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["source"], int(r["window_start"])): (int(r["s_adm"]), int(r["s_rej"]))
+        for r in spark.sql(
+            "select source, window_start, sum(admitted_tok) s_adm, "
+            "sum(rejected_tok) s_rej from quota_apws_out group by 1, 2"
+        ).collect()
+    }
+    want = {
+        (r["source"], int(r["window_start"])): (
+            int(r["admitted_tok"]),
+            int(r["rejected_tok"]),
+        )
+        for r in token_quota_batch(
+            read_sequence_table(spark, src), 2_000, 600
+        ).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # the cap actually bound

@@ -5,14 +5,19 @@ Runs every ``queries()`` entry at a given sf_dir and compares against its
 and an order-insensitive value comparison (columns sorted by name, rows
 sorted, values normalized). Usage:
 
-    python tools/oracle_check.py [--extra] [sf_dir] [query ...]
+    python tools/oracle_check.py [--extra] [--json PATH] [sf_dir] [query ...]
 
 ``--extra`` checks the EXTRA-tier entries (outside the driver's graded
 window) with the identical protocol instead of the graded tier.
+``--json PATH`` additionally writes a driver-format correctness artifact
+({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) so ungraded tiers get the same evidence shape as CORRECTNESS_r{N}
+(rows-only entries carry null schema/hash fields).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -58,6 +63,11 @@ def main():
     argv = sys.argv[1:]
     extra = "--extra" in argv
     argv = [a for a in argv if a != "--extra"]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -82,6 +92,7 @@ def main():
         )
 
     n_pass = n_fail = n_rowsonly = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -92,10 +103,20 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {e}"[:500],
+            }
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            report[name] = {
+                "rows_match": True, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None,
+            }
             n_rowsonly += 1
             continue
         try:
@@ -104,6 +125,11 @@ def main():
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb error: {e}"[:500],
+            }
             n_fail += 1
             continue
         sc, sr = canon_rows(scols, srows)
@@ -117,12 +143,24 @@ def main():
             k = sum(1 for a, b in zip(sr, dr) if a != b)
             first = next(((a, b) for a, b in zip(sr, dr) if a != b), None)
             issues.append(f"values differ in {k}/{len(sr)} rows; first diff {first}")
+        report[name] = {
+            "rows_match": len(sr) == len(dr),
+            "schema_match": sc == dc,
+            "hash_match": sr == dr and sc == dc and len(sr) == len(dr),
+            "spark_rows": len(sr),
+            "oracle_rows": len(dr),
+            "err": "; ".join(issues)[:500] if issues else None,
+        }
         if issues:
             print(f"FAIL  {name}: {'; '.join(issues)} [{time.time()-t0:.1f}s]")
             n_fail += 1
         else:
             print(f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
+
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1)
 
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
