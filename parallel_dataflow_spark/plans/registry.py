@@ -3484,7 +3484,8 @@ _QUOTA_ORACLE = f"""
     WITH src AS (
       SELECT event_type AS source, ts,
              CAST(floor(value) AS BIGINT) % 300 + 50 AS n_tok,
-             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+             CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+                  CAST(CAST(floor(value) AS BIGINT) % 300 + 50 AS VARCHAR))), 1, 15))
                   AS BIGINT) AS ck,
              epoch_us(ts) - epoch_us(ts) % {_QUOTA_WINDOW_SEC * 1_000_000}
                AS window_start

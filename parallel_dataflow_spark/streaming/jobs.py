@@ -795,3 +795,44 @@ def batch_mix_golden(
             "tokens_kept",
         )
     )
+
+
+def run_quota_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    budget: int = 2_000,
+    window_sec: int = 600,
+    ttl_sec: int = 600,
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 4,
+    iceberg_table: str | None = None,
+):
+    """Streaming windowed quota enforcement — the deployable face of
+    TokenQuotaProcessor / token_quota_stream (streaming/stateful.py) and
+    the 13th deployable: sequences are admitted per (source, event-time
+    window) while the window's cumulative raw token total stays within
+    ``budget``, and the RUNNING per-window admitted/rejected totals are
+    published to an exactly-once sink keyed (source, window_start) —
+    running emissions + latest-wins keyed upsert = correct totals under
+    any micro-batch split or replay.
+
+    Scale shape: token arrays die in the JVM prestage (the stateful
+    exchange carries 4 small columns keyed by source); per-key state is
+    O(live windows) with watermark+ttl purge, so a dead source retains
+    nothing. Quota admission at the stream edge is how a production
+    ingest caps a runaway source before it pollutes the mix."""
+    from parallel_dataflow_spark.streaming.stateful import token_quota_stream
+
+    sink = make_sink(spark, work_dir, ["source", "window_start"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    out = token_quota_stream(
+        stream, budget, window_sec, ttl_sec, watermark, api="auto"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink

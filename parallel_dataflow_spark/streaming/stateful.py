@@ -363,26 +363,35 @@ QUOTA_OUTPUT_SCHEMA = (
 
 
 class TokenQuotaProcessor(StatefulProcessor):
-    """MapState quota enforcer: keyed by source, a MapState maps each
-    event-time window start (µs) to the RAW token total seen so far in
-    that window. A sequence arriving in strict (event_ts, ck) order is
-    admitted iff the window's running raw total including it stays within
-    ``budget`` — the same greedy-prefix-under-cumulative-cap rule as the
-    batch curate_token_budget entry, chosen precisely because the
-    admission state is a single monotone counter: raw totals make the
-    decision independent of how rows are split across micro-batches
-    (an admitted-only counter would be a recursive fold whose result
-    depends on replay boundaries).
+    """MapState + ListState quota enforcer, keyed by source.
 
-    State hygiene: windows whose end + ttl falls behind the watermark can
-    never change (late rows are watermark-dropped), so they are purged —
-    opportunistically at input time and, for keys that stop receiving
-    rows, by ONE registered event-time timer (delete-then-register on
-    horizon change, the CepPatternProcessor discipline — a dead source
-    must not keep a map entry or a timer alive forever).
+    Semantics: sequences are admitted per event-time window while the
+    window's cumulative RAW token total stays within ``budget``, in
+    strict GLOBAL (event_ts, ck) order. To make that order independent
+    of micro-batch boundaries (events arrive out of event-time order),
+    rows are BUFFERED in a ListState until the watermark passes them —
+    the CEP buffer discipline — and only then folded through the
+    MapState window totals. Releases are monotone in the watermark, so
+    the fold order over all released rows equals the batch twin's
+    global sort for any batching (kill/resume differential caught the
+    eager-admission variant flipping boundary rows between batchings).
 
-    Emits per batch one row per window TOUCHED in that batch with the
-    batch's admitted/rejected token and row counts."""
+    Raw totals (not admitted-only) are the state because they are a
+    monotone counter: the admitted/rejected split at any prefix is then
+    a pure function of the released prefix, independent of replay
+    boundaries.
+
+    State hygiene: windows whose end + ttl falls behind the watermark
+    can never change — purged opportunistically and via ONE
+    delete-then-register event-time timer that also drains the buffer
+    for keys that stop receiving input (timer at the earliest
+    actionable instant: min(buffered ts, purge horizon)). A dead
+    source retains no buffer, no map entries, and no timer.
+
+    Emits per batch one row per window TOUCHED by newly released rows,
+    carrying the window's RUNNING totals — latest emission per
+    (source, window) is final, which is what a keyed latest-wins
+    upsert sink needs."""
 
     def __init__(self, budget: int, window_sec: int = 3600, ttl_sec: int = 3600):
         self._budget = int(budget)
@@ -391,12 +400,51 @@ class TokenQuotaProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
+        self._buf = handle.getListState(
+            "quota_buffer", "ts bigint, n_tok bigint, ck bigint"
+        )
         self._spent = handle.getMapState(
-            "window_spent", "window_start bigint", "raw_tok bigint"
+            "window_spent",
+            "window_start bigint",
+            "raw_tok bigint, adm_tok bigint, rej_tok bigint, "
+            "adm_rows bigint, rej_rows bigint",
         )
         self._timer = handle.getValueState("quota_timer", "t bigint")
 
-    def _purge_and_retime(self, wm_us: int) -> None:
+    def _advance(self, wm_us: int, new_rows: list):
+        buf = [tuple(int(x) for x in r)
+               for r in (self._buf.get() if self._buf.exists() else [])]
+        buf.extend(new_rows)
+        buf.sort(key=lambda r: (r[0], r[2]))
+        release = [r for r in buf if r[0] <= wm_us]
+        remain = [r for r in buf if r[0] > wm_us]
+
+        touched: dict[int, list[int]] = {}
+        for ts_us, n_tok, _ck in release:
+            w = ts_us - ts_us % self._window_us
+            if w in touched:
+                st = touched[w]
+            elif self._spent.exists() and self._spent.containsKey((w,)):
+                st = [int(v) for v in self._spent.getValue((w,))]
+                touched[w] = st
+            else:
+                st = touched.setdefault(w, [0, 0, 0, 0, 0])
+            st[0] += n_tok
+            if st[0] <= self._budget:
+                st[1] += n_tok
+                st[3] += 1
+            else:
+                st[2] += n_tok
+                st[4] += 1
+        for w, st in touched.items():
+            self._spent.updateValue((w,), tuple(st))
+
+        self._buf.clear()
+        if remain:
+            self._buf.put([tuple(r) for r in remain])
+
+        # purge closed windows, then (re-)register ONE timer at the
+        # earliest instant future work becomes actionable
         if self._spent.exists():
             dead = [
                 int(k[0])
@@ -406,12 +454,20 @@ class TokenQuotaProcessor(StatefulProcessor):
             for k in dead:
                 self._spent.removeKey((k,))
         live = (
-            [int(k[0]) for k in self._spent.keys()] if self._spent.exists() else []
+            [int(k[0]) for k in self._spent.keys()]
+            if self._spent.exists()
+            else []
         )
         old = int(self._timer.get()[0]) if self._timer.exists() else None
+        horizons = []
+        if remain:
+            horizons.append(min(r[0] for r in remain) // 1000 + 1)
         if live:
-            t_ms = (max(live) + self._window_us + self._ttl_us) // 1000 + 1
-            t_ms = max(t_ms, wm_us // 1000 + 1)
+            horizons.append(
+                (min(live) + self._window_us + self._ttl_us) // 1000 + 1
+            )
+        if horizons:
+            t_ms = max(min(horizons), wm_us // 1000 + 1)
             if old != t_ms:
                 if old is not None:
                     self._handle.deleteTimer(old)
@@ -421,6 +477,22 @@ class TokenQuotaProcessor(StatefulProcessor):
             if old is not None:
                 self._handle.deleteTimer(old)
             self._timer.clear()
+        return touched
+
+    @staticmethod
+    def _emit(key, touched):
+        if touched:
+            ws = sorted(touched)
+            yield pd.DataFrame(
+                {
+                    "source": key[0],
+                    "window_start": ws,
+                    "admitted_tok": [touched[w][1] for w in ws],
+                    "rejected_tok": [touched[w][2] for w in ws],
+                    "admitted_rows": [touched[w][3] for w in ws],
+                    "rejected_rows": [touched[w][4] for w in ws],
+                }
+            )
 
     def handleInputRows(self, key, rows, timerValues):
         new: list[tuple[int, int, int]] = []
@@ -435,43 +507,12 @@ class TokenQuotaProcessor(StatefulProcessor):
                     pdf["ck"].astype("int64").tolist(),
                 )
             )
-        new.sort(key=lambda r: (r[0], r[2]))
-        stats: dict[int, list[int]] = {}
-        for ts_us, n_tok, _ck in new:
-            w = ts_us - ts_us % self._window_us
-            raw = (
-                int(self._spent.getValue((w,))[0])
-                if self._spent.exists() and self._spent.containsKey((w,))
-                else 0
-            )
-            raw += n_tok
-            self._spent.updateValue((w,), (raw,))
-            st = stats.setdefault(w, [0, 0, 0, 0])
-            if raw <= self._budget:
-                st[0] += n_tok
-                st[2] += 1
-            else:
-                st[1] += n_tok
-                st[3] += 1
         wm_us = max(timerValues.getCurrentWatermarkInMs(), 0) * 1000
-        self._purge_and_retime(wm_us)
-        if stats:
-            ws = sorted(stats)
-            yield pd.DataFrame(
-                {
-                    "source": key[0],
-                    "window_start": ws,
-                    "admitted_tok": [stats[w][0] for w in ws],
-                    "rejected_tok": [stats[w][1] for w in ws],
-                    "admitted_rows": [stats[w][2] for w in ws],
-                    "rejected_rows": [stats[w][3] for w in ws],
-                }
-            )
+        yield from self._emit(key, self._advance(wm_us, new))
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         wm_us = max(timerValues.getCurrentWatermarkInMs(), 0) * 1000
-        self._purge_and_retime(wm_us)
-        yield from ()
+        yield from self._emit(key, self._advance(wm_us, []))
 
     def close(self) -> None:
         pass
@@ -479,15 +520,25 @@ class TokenQuotaProcessor(StatefulProcessor):
 
 def quota_prestage(df: DataFrame) -> DataFrame:
     """JVM-side pre-stage: (source, event_ts, n_tok, ck) where ck is the
-    cross-engine 60-bit doc hash that fixes the within-timestamp
-    admission order. Token arrays (if present) die here."""
+    cross-engine 60-bit hash of (doc_id, n_tok) that fixes the
+    within-timestamp admission order. n_tok is part of the hash because a
+    hot doc_id can emit several sequences in the SAME second: hashing
+    doc_id alone left those rows tied in the (ts, ck) sort, and when they
+    straddled the budget boundary the admitted/rejected split depended on
+    the arbitrary tie order (caught by the kill/resume differential —
+    replayed batches broke ties differently). With n_tok folded in,
+    remaining ties are between rows with equal token counts, which are
+    fungible for the split. Token arrays (if present) die here."""
     from parallel_dataflow_spark.functions.text import md5_60bit
 
     return df.select(
         "source",
         "event_ts",
         F.col("n_tok").cast("long").alias("n_tok"),
-        md5_60bit(F.col("doc_id").cast("string")).alias("ck"),
+        md5_60bit(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.col("n_tok").cast("string"))
+        ).alias("ck"),
     )
 
 
@@ -550,7 +601,11 @@ def token_quota_batch(
     )
 
 
-_QUOTA_STATE_SCHEMA = "wins array<bigint>, raws array<bigint>"
+_QUOTA_STATE_SCHEMA = (
+    "b_ts array<bigint>, b_tok array<bigint>, b_ck array<bigint>, "
+    "wins array<bigint>, raws array<bigint>, adm_t array<bigint>, "
+    "rej_t array<bigint>, adm_r array<bigint>, rej_r array<bigint>"
+)
 
 
 def token_quota_stream(
@@ -563,10 +618,11 @@ def token_quota_stream(
 ) -> DataFrame:
     """Quota enforcement with API fallback, mirroring
     running_doc_stats_stream: 'tws' = transformWithStateInPandas
-    (TokenQuotaProcessor), 'apws' = applyInPandasWithState with the
-    SAME greedy-prefix-on-raw-totals rule (the MapState becomes two
-    parallel arrays in the single apws state tuple; EventTimeTimeout
-    replaces the registered timer for the dead-key purge)."""
+    (TokenQuotaProcessor), 'apws' = applyInPandasWithState with the SAME
+    buffered-release semantics (buffer + MapState become parallel arrays
+    in the single apws state tuple; EventTimeTimeout replaces the
+    registered timer). Emissions carry RUNNING per-window totals —
+    latest emission per (source, window) = final, upsert-sink-safe."""
     if api == "auto":
         api = "tws" if tws_available() else "apws"
     if api == "tws":
@@ -581,58 +637,87 @@ def token_quota_stream(
     def kernel(key, pdf_iter, state):
         import pandas as pd  # worker-side
 
-        spent: dict[int, int] = {}
+        buf: list[tuple[int, int, int]] = []
+        spent: dict[int, list[int]] = {}
         if state.exists:
-            wins, raws = state.get
-            spent = {int(w): int(r) for w, r in zip(wins, raws)}
-        new: list[tuple[int, int, int]] = []
+            b_ts, b_tok, b_ck, wins, raws, adm_t, rej_t, adm_r, rej_r = state.get
+            buf = [
+                (int(a), int(b), int(c)) for a, b, c in zip(b_ts, b_tok, b_ck)
+            ]
+            spent = {
+                int(w): [int(a), int(b), int(c), int(d), int(e)]
+                for w, a, b, c, d, e in zip(wins, raws, adm_t, rej_t, adm_r, rej_r)
+            }
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
             ts = pdf["event_ts"].astype("datetime64[us]").astype("int64")
-            new.extend(
+            buf.extend(
                 zip(
                     ts.tolist(),
                     pdf["n_tok"].astype("int64").tolist(),
                     pdf["ck"].astype("int64").tolist(),
                 )
             )
-        new.sort(key=lambda r: (r[0], r[2]))
-        stats: dict[int, list[int]] = {}
-        max_ts = 0
-        for ts_us, n_tok, _ck in new:
+        wm_us = max(state.getCurrentWatermarkMs(), 0) * 1000
+        buf.sort(key=lambda r: (r[0], r[2]))
+        release = [r for r in buf if r[0] <= wm_us]
+        remain = [r for r in buf if r[0] > wm_us]
+
+        touched: set[int] = set()
+        for ts_us, n_tok, _ck in release:
             w = ts_us - ts_us % window_us
-            raw = spent.get(w, 0) + n_tok
-            spent[w] = raw
-            st = stats.setdefault(w, [0, 0, 0, 0])
-            if raw <= budget:
-                st[0] += n_tok
-                st[2] += 1
-            else:
+            st = spent.setdefault(w, [0, 0, 0, 0, 0])
+            st[0] += n_tok
+            if st[0] <= budget:
                 st[1] += n_tok
                 st[3] += 1
-            max_ts = max(max_ts, ts_us)
-        wm_us = max(state.getCurrentWatermarkMs(), 0) * 1000
+            else:
+                st[2] += n_tok
+                st[4] += 1
+            touched.add(w)
+
+        # emit from PRE-purge values: a large watermark jump (e.g. a
+        # flush sentinel) can release rows into windows that are already
+        # purge-eligible — their final totals must still be published
+        emitted = {w: list(spent[w]) for w in touched}
         spent = {
-            w: r for w, r in spent.items() if w + window_us + ttl_us > wm_us
+            w: st for w, st in spent.items() if w + window_us + ttl_us > wm_us
         }
-        if spent:
+        if remain or spent:
             ws = sorted(spent)
-            state.update((ws, [spent[w] for w in ws]))
-            horizon_ms = (max(ws) + window_us + ttl_us) // 1000 + 1
-            state.setTimeoutTimestamp(max(horizon_ms, wm_us // 1000 + 1))
+            state.update(
+                (
+                    [r[0] for r in remain],
+                    [r[1] for r in remain],
+                    [r[2] for r in remain],
+                    ws,
+                    [spent[w][0] for w in ws],
+                    [spent[w][1] for w in ws],
+                    [spent[w][2] for w in ws],
+                    [spent[w][3] for w in ws],
+                    [spent[w][4] for w in ws],
+                )
+            )
+            horizons = []
+            if remain:
+                horizons.append(min(r[0] for r in remain) // 1000 + 1)
+            if ws:
+                horizons.append((min(ws) + window_us + ttl_us) // 1000 + 1)
+            state.setTimeoutTimestamp(max(min(horizons), wm_us // 1000 + 1))
         else:
             state.remove()
-        if stats:
-            ws = sorted(stats)
+
+        if emitted:
+            ws_e = sorted(emitted)
             yield pd.DataFrame(
                 {
                     "source": key[0],
-                    "window_start": ws,
-                    "admitted_tok": [stats[w][0] for w in ws],
-                    "rejected_tok": [stats[w][1] for w in ws],
-                    "admitted_rows": [stats[w][2] for w in ws],
-                    "rejected_rows": [stats[w][3] for w in ws],
+                    "window_start": ws_e,
+                    "admitted_tok": [emitted[w][1] for w in ws_e],
+                    "rejected_tok": [emitted[w][2] for w in ws_e],
+                    "admitted_rows": [emitted[w][3] for w in ws_e],
+                    "rejected_rows": [emitted[w][4] for w in ws_e],
                 }
             )
 

@@ -552,6 +552,21 @@ FakeHandle.getMapState = lambda self, name, key_schema, value_schema, ttl_durati
 )
 
 
+def _quota_flush_sentinel(spark, src):
+    """Far-future row advancing the watermark so every quota buffer
+    drains (buffered-release semantics); its own source is excluded from
+    stream-vs-batch comparisons."""
+    import datetime
+
+    from parallel_dataflow_spark.sources.sequences import SEQUENCE_SCHEMA
+
+    far = datetime.datetime(2026, 6, 1, 0, 0, 0)
+    row = [("__sentinel__", list(range(10)), 10, "__sentinel__", far)]
+    spark.createDataFrame(row, SEQUENCE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src + "/sentinel")
+
+
 def _quota_rows(spark, n=200, seed=7):
     """(doc_id, source, event_ts, n_tok) over 2 sources x several hourly
     windows, timestamps strictly increasing so time-ordered micro-batches
@@ -586,6 +601,8 @@ def test_tws_quota_processor_matches_batch_twin(spark):
         token_quota_batch,
     )
 
+    from pyspark.sql.streaming.stateful_processor import ExpiredTimerInfo
+
     budget, win = 2000, 3600
     df = _quota_rows(spark)
     staged = (
@@ -593,7 +610,16 @@ def test_tws_quota_processor_matches_batch_twin(spark):
         .withColumn("ts_us", F.col("event_ts").cast("timestamp_ltz").cast("long") * 1_000_000)
         .collect()
     )
+    # ARRIVAL order deliberately != event-time order: permute within
+    # blocks of 10 (max displacement ~970 s, inside the 1200 s watermark
+    # lag so nothing is late) — the buffered release must restore the
+    # global (ts, ck) order the batch twin uses
     staged.sort(key=lambda r: (r["ts_us"], r["ck"]))
+    rng = np.random.default_rng(5)
+    arrival = []
+    for lo in range(0, len(staged), 10):
+        block = staged[lo : lo + 10]
+        arrival.extend(block[i] for i in rng.permutation(len(block)))
 
     handles: dict[str, FakeHandle] = {}
     procs: dict[str, TokenQuotaProcessor] = {}
@@ -606,10 +632,25 @@ def test_tws_quota_processor_matches_batch_twin(spark):
         return procs[srcname]
 
     got: dict[tuple, list[int]] = {}
+
+    def take(src_name, emit_iter):
+        for emit in emit_iter:
+            for _, er in emit.iterrows():
+                # RUNNING totals: the latest emission per window wins
+                got[(er["source"], int(er["window_start"]))] = [
+                    int(er["admitted_tok"]),
+                    int(er["rejected_tok"]),
+                    int(er["admitted_rows"]),
+                    int(er["rejected_rows"]),
+                ]
+
     batch_size = 23  # deliberately not aligned to windows or sources
-    for lo in range(0, len(staged), batch_size):
-        batch = staged[lo : lo + batch_size]
-        wm_ms = max((batch[0]["ts_us"] // 1_000_000 - 1200) * 1000, 0)
+    max_ts_us = 0
+    for lo in range(0, len(arrival), batch_size):
+        batch = arrival[lo : lo + batch_size]
+        # real watermark semantics: max event ts seen so far minus the lag
+        wm_ms = max((max_ts_us // 1_000_000 - 1200) * 1000, 0)
+        max_ts_us = max(max_ts_us, max(r["ts_us"] for r in batch))
         by_src: dict[str, list] = {}
         for r in batch:
             by_src.setdefault(r["source"], []).append(r)
@@ -624,16 +665,20 @@ def test_tws_quota_processor_matches_batch_twin(spark):
                 }
             )
             tv = TimerValues(-1, wm_ms)
-            for emit in proc_for(srcname).handleInputRows(
+            take(srcname, proc_for(srcname).handleInputRows(
                 (srcname,), iter([pdf]), tv
-            ):
-                for _, er in emit.iterrows():
-                    key = (er["source"], int(er["window_start"]))
-                    acc = got.setdefault(key, [0, 0, 0, 0])
-                    acc[0] += int(er["admitted_tok"])
-                    acc[1] += int(er["rejected_tok"])
-                    acc[2] += int(er["admitted_rows"])
-                    acc[3] += int(er["rejected_rows"])
+            ))
+    # end of stream: drain every buffer via the timer path
+    final_wm_ms = max_ts_us // 1000 + 10_000_000
+    for srcname, proc in procs.items():
+        take(srcname, proc.handleExpiredTimer(
+            (srcname,), TimerValues(-1, final_wm_ms), ExpiredTimerInfo(0)
+        ))
+        # fully drained: no buffer, no map entries, no timer
+        h = handles[srcname]
+        assert not h.states["quota_buffer"].exists()
+        assert not h.states["window_spent"].exists()
+        assert len(h.timers) == 0
 
     want = {
         (r["source"], int(r["window_start"])): [
@@ -652,10 +697,11 @@ def test_tws_quota_processor_matches_batch_twin(spark):
 
 
 def test_tws_quota_map_purge_and_single_timer():
-    """Windows entirely behind watermark + ttl are purged from the
-    MapState, and a drained key ends with NO map entries and NO live
-    timer (dead sources must not retain state — the CEP timer-storm
-    lesson applied to MapState)."""
+    """Full state lifecycle on the double: rows buffer until the
+    watermark passes (no eager admission), releases fold into the
+    MapState, windows behind watermark + ttl are purged, and a drained
+    key ends with NO buffer, NO map entries and NO live timer (dead
+    sources must not retain state — the CEP timer-storm lesson)."""
     from pyspark.sql.streaming.stateful_processor import (
         ExpiredTimerInfo,
         TimerValues,
@@ -678,28 +724,34 @@ def test_tws_quota_map_purge_and_single_timer():
             "ck": [1, 2],
         }
     )
-    list(proc.handleInputRows(("srcA",), iter([pdf]), TimerValues(-1, 0)))
-    ms = handle.states["window_spent"]
-    assert len(list(ms.keys())) == 2 and len(handle.timers) == 1
+    # watermark 0: both rows BUFFER, nothing admitted, nothing emitted
+    out = list(proc.handleInputRows(("srcA",), iter([pdf]), TimerValues(-1, 0)))
+    assert out == []
+    buf, ms = handle.states["quota_buffer"], handle.states["window_spent"]
+    assert len(list(buf.get())) == 2 and not ms.exists()
+    assert len(handle.timers) == 1
 
-    # watermark passes window0's end + ttl but not window1's: purge 1 of 2
-    wm1_ms = (w0 + 3 * win_us) // 1000 - 1  # 1 ms shy of w1's purge horizon
-    list(
-        proc.handleExpiredTimer(
-            ("srcA",), TimerValues(-1, wm1_ms), ExpiredTimerInfo(0)
-        )
+    # watermark passes row0 only: it is released into w0; row1 stays
+    # buffered; w0 not yet purgeable (wm < w0 end + ttl)
+    wm1_ms = (t0 + 1) // 1000
+    (e1,) = list(
+        proc.handleExpiredTimer(("srcA",), TimerValues(-1, wm1_ms), ExpiredTimerInfo(0))
     )
-    assert [int(k[0]) for k in ms.keys()] == [w1]
-    assert len(handle.timers) == 1  # re-registered for the live window
+    assert list(e1["window_start"]) == [w0]
+    assert list(e1["admitted_tok"]) == [600]
+    assert len(list(buf.get())) == 1
+    assert [int(k[0]) for k in ms.keys()] == [w0]
+    assert len(handle.timers) == 1
 
-    # watermark passes everything: empty map, no timer left
-    wm2_ms = (t0 + 4 * win_us) // 1000
-    list(
-        proc.handleExpiredTimer(
-            ("srcA",), TimerValues(-1, wm2_ms), ExpiredTimerInfo(0)
-        )
+    # watermark sails past everything + ttl: row1 released (emitted with
+    # its final totals) AND both windows purged; key fully drained
+    wm2_ms = (w1 + 4 * win_us) // 1000
+    (e2,) = list(
+        proc.handleExpiredTimer(("srcA",), TimerValues(-1, wm2_ms), ExpiredTimerInfo(0))
     )
-    assert not ms.exists() and len(handle.timers) == 0
+    assert list(e2["window_start"]) == [w1]
+    assert list(e2["admitted_tok"]) == [700]
+    assert not buf.exists() and not ms.exists() and len(handle.timers) == 0
     proc.close()
 
 
@@ -732,6 +784,8 @@ def test_tws_quota_end_to_end_when_protobuf_present(spark, tmp_path):
         .start()
     )
     q.processAllAvailable()
+    _quota_flush_sentinel(spark, src)
+    q.processAllAvailable()
     q.stop()
     got = {
         (r["source"], int(r["window_start"])): (
@@ -739,8 +793,9 @@ def test_tws_quota_end_to_end_when_protobuf_present(spark, tmp_path):
             int(r["s_rej"]),
         )
         for r in spark.sql(
-            "select source, window_start, sum(admitted_tok) s_adm, "
-            "sum(rejected_tok) s_rej from tws_quota_out group by 1, 2"
+            "select source, window_start, max(admitted_tok) s_adm, "
+            "max(rejected_tok) s_rej from tws_quota_out "
+            "where source <> '__sentinel__' group by 1, 2"
         ).collect()
     }
     want = {
@@ -750,7 +805,7 @@ def test_tws_quota_end_to_end_when_protobuf_present(spark, tmp_path):
         )
         for r in token_quota_batch(
             read_sequence_table(spark, src), 2_000, 600
-        ).collect()
+        ).filter("source <> '__sentinel__'").collect()
     }
     assert got == want
 
@@ -785,12 +840,15 @@ def test_quota_apws_stream_matches_batch_twin(spark, tmp_path):
         .start()
     )
     q.processAllAvailable()
+    _quota_flush_sentinel(spark, src)
+    q.processAllAvailable()
     q.stop()
     got = {
         (r["source"], int(r["window_start"])): (int(r["s_adm"]), int(r["s_rej"]))
         for r in spark.sql(
-            "select source, window_start, sum(admitted_tok) s_adm, "
-            "sum(rejected_tok) s_rej from quota_apws_out group by 1, 2"
+            "select source, window_start, max(admitted_tok) s_adm, "
+            "max(rejected_tok) s_rej from quota_apws_out "
+            "where source <> '__sentinel__' group by 1, 2"
         ).collect()
     }
     want = {
@@ -800,7 +858,7 @@ def test_quota_apws_stream_matches_batch_twin(spark, tmp_path):
         )
         for r in token_quota_batch(
             read_sequence_table(spark, src), 2_000, 600
-        ).collect()
+        ).filter("source <> '__sentinel__'").collect()
     }
     assert got == want
     assert any(v[1] > 0 for v in want.values())  # the cap actually bound
