@@ -3533,3 +3533,159 @@ def quota_admission_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_quota_batch(ev, _QUOTA_BUDGET, _QUOTA_WINDOW_SEC).orderBy(
         "source", "window_start"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+# public) — operators/bpe.py. The oracle derives the same merge table
+# through an INDEPENDENT algorithm: the Spark side applies each merge as
+# a greedy left-to-right aggregate fold; the DuckDB side finds match
+# positions and resolves same-symbol runs with a window-based
+# run-alternation (keep the 1st, 3rd, ... match of each consecutive run)
+# — two different constructions of the same greedy semantics.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_sym_chain(n: int) -> str:
+    """CTE chain wf → sym0 → (p/pc/best/m/g/keep/r → sym{i+1}) × n."""
+    parts = [
+        r"""
+    WITH wf AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    sym0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms FROM wf)"""
+    ]
+    for i in range(n):
+        parts.append(
+            f"""
+    p{i} AS MATERIALIZED (
+      SELECT word, cnt, generate_subscripts(syms, 1) AS pos, unnest(syms) AS s
+      FROM sym{i}
+    ),
+    pc{i} AS (
+      SELECT a.s AS l, b.s AS r, sum(a.cnt) AS c
+      FROM p{i} a JOIN p{i} b ON a.word = b.word AND b.pos = a.pos + 1
+      GROUP BY a.s, b.s
+    ),
+    best{i} AS MATERIALIZED (SELECT l, r FROM pc{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    m{i} AS (
+      SELECT a.word, a.pos
+      FROM p{i} a JOIN p{i} b ON a.word = b.word AND b.pos = a.pos + 1
+      JOIN best{i} x ON a.s = x.l AND b.s = x.r
+    ),
+    g{i} AS (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+      FROM m{i}
+    ),
+    keep{i} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+        FROM g{i}
+      ) WHERE rn % 2 = 1
+    ),
+    r{i} AS (
+      SELECT p.word, p.cnt, p.pos,
+             CASE WHEN kp.pos IS NOT NULL THEN p.s || pn.s ELSE p.s END AS s
+      FROM p{i} p
+      LEFT JOIN keep{i} kp ON kp.word = p.word AND kp.pos = p.pos
+      LEFT JOIN p{i} pn ON pn.word = p.word AND pn.pos = p.pos + 1
+      WHERE NOT EXISTS (
+        SELECT 1 FROM keep{i} kc WHERE kc.word = p.word AND kc.pos = p.pos - 1
+      )
+    ),
+    sym{i + 1} AS MATERIALIZED (
+      SELECT word, any_value(cnt) AS cnt, list(s ORDER BY pos) AS syms
+      FROM r{i} GROUP BY word
+    )"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_train_oracle() -> str:
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS rank, l AS lhs, r AS rhs,"
+        f" l || r AS merged FROM best{i}"
+        for i in range(_BPE_MERGES)
+    )
+    return (
+        _bpe_sym_chain(_BPE_MERGES)
+        + f"""
+    {finals}
+    ORDER BY rank"""
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    n = _BPE_MERGES
+    return (
+        _bpe_sym_chain(n)
+        + rf""",
+    cw AS (
+      SELECT source, word FROM (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    enc AS (
+      SELECT cw.source, s.syms FROM cw JOIN sym{n} s ON s.word = cw.word
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(concat('0x', substr(md5(array_to_string(syms, ' ')),
+                1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS sym_checksum
+    FROM enc GROUP BY source ORDER BY source"""
+    )
+
+
+@register_extra("bpe_train_merges", _bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table (rank, lhs, rhs, merged) for 8 merges
+    over the documents corpus — operators/bpe.bpe_train. One corpus-scale
+    shuffle (word frequencies); every iteration after that is
+    vocab-bounded with exactly one row collected to the driver. The
+    deterministic tie-break (max count, then lexicographic (lhs, rhs))
+    is the cross-engine contract."""
+    from parallel_dataflow_spark.operators.bpe import bpe_train
+
+    merges, syms = bpe_train(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    syms.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string"
+    )
+
+
+@register_extra("bpe_encode_tokens", _bpe_encode_oracle())
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded with the trained BPE merges, audited per source:
+    word count, post-merge token count, and a 60-bit md5 checksum of the
+    symbol sequences (pins the exact segmentation, not just counts).
+    Encoding is a broadcast join of exploded words against the trained
+    vocab table (operators/bpe.bpe_encode) — the vocab table is bounded
+    while the corpus is not."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+    from parallel_dataflow_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, syms = bpe_train(d, _BPE_MERGES)
+    out = (
+        bpe_encode(d, syms)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("n_tokens"),
+            F.sum(md5_60bit(F.array_join("syms", " ")) % F.lit(1_000_003))
+            .cast("long")
+            .alias("sym_checksum"),
+        )
+        .orderBy("source")
+    )
+    return out
