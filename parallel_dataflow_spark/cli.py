@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
-            "pipeline", "neardup", "drift", "mix",
+            "pipeline", "neardup", "drift", "mix", "quota",
         ],
         default="tumbling",
     )
@@ -200,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
             "neardup": J.run_neardup_job,
             "drift": J.run_drift_job,
             "mix": J.run_mix_job,
+            "quota": J.run_quota_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -35,6 +35,12 @@ QUERIES = [
                                    # partition order under the 6-dp contract
     "resample_uniform_mix",        # rate doubles from exact int64 totals;
                                    # hash acceptance partition-independent
+    "bpe_train_merges",            # per-merge argmax over a distributed
+                                   # pair count: the (count, lhs, rhs)
+                                   # total order must absorb partial-agg
+                                   # combining order at any level
+    "quota_admission_events",      # window cumsum admission: (ts, ck)
+                                   # order contract vs partition count
 ]
 
 _PROBE = r"""
