@@ -469,3 +469,67 @@ def exact_substring_spans(
     return spans.filter(F.col("span_len") >= min_len).select(
         "doc_a", "doc_b", "start_a", "start_b", "span_len"
     )
+
+
+def c4_span_dedup(
+    documents: DataFrame, span_words: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """C4-style span deduplication (Raffel et al. 2020, S 2.2: "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set"), with non-overlapping ``span_words``-word
+    blocks standing in for sentence triples (the corpus text carries no
+    sentence boundaries). Every occurrence of a span after its globally
+    first occurrence — ordered by (doc_id, span_idx) — is cut from the
+    rebuilt document.
+
+    Scale shape: raw text NEVER shuffles. Pass 1 explodes spans map-side
+    and immediately projects them to xxhash64, so the keep-first window
+    exchange carries (hash, doc_id, span_idx) triples only; pass 2 ships
+    just the removed (doc_id, span_idx) pairs — duplicate-volume, not
+    corpus-volume — back to a per-doc sorted position array, and the
+    rebuild re-derives spans map-side from a second scan and filters by
+    position. Two exchanges total (span-hash window + per-doc removal
+    agg), both over fixed-width rows.
+
+    Returns (doc_id, n_spans, n_removed, text_clean); the DuckDB oracle
+    (plans/registry.py:dedup_c4_spans) replays the same keep-first rule
+    grouping on the span STRING — the engine's 64-bit hash stands in for
+    the string with collision probability ~n^2/2^65 (the minhash shingle
+    precedent).
+    """
+    from pyspark.sql import Window
+
+    w = int(span_words)
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+    )
+    trip = documents.select(
+        "doc_id", F.posexplode(spans).alias("span_idx", "span")
+    ).select("doc_id", "span_idx", F.xxhash64("span").alias("h"))
+    first = Window.partitionBy("h").orderBy("doc_id", "span_idx")
+    rem = (
+        trip.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("span_idx")).alias("rem"))
+    )
+    return (
+        documents.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.alias("n_spans"),
+            F.coalesce(F.size("rem"), F.lit(0)).cast("int").alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    spans,
+                    lambda s, i: ~F.coalesce(
+                        F.array_contains(F.col("rem"), i), F.lit(False)
+                    ),
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )

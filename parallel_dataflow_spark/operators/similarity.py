@@ -642,3 +642,98 @@ def _adc_query_frame_residual(
         qdata,
         schema=f"query_id bigint, pcluster int, q_emb array<double>, {tcols}",
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space. Cluster with k-means, then inside
+    each cluster remove any item whose cosine to an *earlier* item in the
+    cluster ordering is >= tau; the ordering is ascending similarity to
+    the cluster centroid (ties on id), so the kept representative of each
+    semantic-duplicate group is the one FARTHEST from the centroid — the
+    paper's keep-low-centroid-similarity rule (S 3), which preserves the
+    cluster's outer shell rather than its redundant core.
+
+    Scale shape: the k-means step is the broadcast-centroid pattern of
+    ``kmeans_fit`` (data never reaches the driver; K*dim rows shuffle per
+    iteration). The only quadratic work is the within-cluster pairwise
+    cosine — an equi-join on the cluster id, O(sum c_i^2) pairs, which is
+    exactly the paper's device for avoiding the corpus-level O(n^2): k is
+    the dial that bounds cluster size (50k clusters at LAION scale). The
+    per-cluster rank window sorts one cluster per partition — bounded by
+    the same dial.
+
+    Determinism contract (mirrored by the DuckDB oracle in
+    plans/registry.py:semdedup_embeddings): k-means per ``kmeans_fit``;
+    all cosines rounded to 6 decimals (with a 1e-12 norm-product floor)
+    BEFORE the tau comparison and the rank ordering; rank ties break on
+    doc_id. Returns (doc_id, cluster, cent_cos, kept).
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    cents = kmeans_fit(emb, k, iters)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _nrm(a):
+        return F.sqrt(_dot(a, a))
+
+    def _cos(a, b):
+        return F.round(
+            _dot(a, b) / F.greatest(_nrm(a) * _nrm(b), F.lit(1e-12)), 6
+        )
+
+    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    assigned = (
+        emb.withColumn("cluster", _kmeans_argmin(cents))
+        .withColumn("cent", F.element_at(cent_arr, F.col("cluster") + 1))
+        .withColumn("cent_cos", _cos(F.col("emb"), F.col("cent")))
+        .drop("cent")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("cent_cos"), F.asc("doc_id")
+    )
+    ranked = assigned.withColumn("rk", F.row_number().over(w)).persist()
+    lhs = ranked.select(
+        "cluster",
+        F.col("rk").alias("rk_a"),
+        F.col("emb").alias("emb_a"),
+    )
+    rhs = ranked.select(
+        "cluster",
+        F.col("rk").alias("rk_b"),
+        F.col("doc_id").alias("dup_id"),
+        F.col("emb").alias("emb_b"),
+    )
+    removed = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .filter(_cos(F.col("emb_a"), F.col("emb_b")) >= F.lit(tau))
+        .select("dup_id")
+        .distinct()
+    )
+    return (
+        ranked.join(
+            removed, ranked["doc_id"] == removed["dup_id"], "left"
+        )
+        .select(
+            "doc_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            "cent_cos",
+            F.col("dup_id").isNull().alias("kept"),
+        )
+    )

@@ -3689,3 +3689,135 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023) + C4 span dedup (Raffel et al. 2020) —
+# round-5 additions to the dedup-policy family
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle() -> str:
+    """The kmeans unrolled-CTE chain (same K/iters/6-dp contract as
+    embedding_kmeans) extended with centroid cosines, the ascending
+    centroid-similarity rank, and the remove-if-similar-to-an-earlier-item
+    rule — all cosines rounded to 6 dp over a 1e-12 norm-product floor,
+    exactly like the Spark side (operators/similarity.semdedup)."""
+    it = _KMEANS_ITERS
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS cluster,
+             list_transform(emb, x -> round(x, 6)) AS cent
+      FROM (SELECT doc_id, emb FROM e ORDER BY doc_id LIMIT {_KMEANS_K})
+    )"""
+    ]
+    for i in range(1, it + 1):
+        parts.append(_kmeans_dist_cte(f"c{i - 1}", str(i)))
+        if i < it:
+            parts.append(_kmeans_mean_cte(f"a{i}", f"c{i - 1}", f"c{i}"))
+    body = f"""
+    cc AS (
+      SELECT a.doc_id, a.cluster,
+             round(
+               list_sum(list_transform(list_zip(e.emb, c.cent),
+                        x -> x[1] * x[2]))
+               / greatest(sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.cent, x -> x * x))),
+                        1e-12),
+             6) AS cent_cos
+      FROM a{it} a
+      JOIN e ON e.doc_id = a.doc_id
+      JOIN c{it - 1} c ON a.cluster = c.cluster
+    ),
+    r AS (
+      SELECT cc.*, row_number() OVER (PARTITION BY cluster
+                   ORDER BY cent_cos ASC, doc_id ASC) AS rk
+      FROM cc
+    ),
+    rem AS (
+      SELECT DISTINCT rb.doc_id
+      FROM r ra
+      JOIN r rb ON ra.cluster = rb.cluster AND ra.rk < rb.rk
+      JOIN e ea ON ea.doc_id = ra.doc_id
+      JOIN e eb ON eb.doc_id = rb.doc_id
+      WHERE round(
+              list_sum(list_transform(list_zip(ea.emb, eb.emb),
+                       x -> x[1] * x[2]))
+              / greatest(sqrt(list_sum(list_transform(ea.emb, x -> x * x)))
+                       * sqrt(list_sum(list_transform(eb.emb, x -> x * x))),
+                       1e-12),
+            6) >= {_SEMDEDUP_TAU}
+    )
+    SELECT r.doc_id, CAST(r.cluster AS INTEGER) AS cluster, r.cent_cos,
+           (rem.doc_id IS NULL) AS kept
+    FROM r LEFT JOIN rem ON r.doc_id = rem.doc_id"""
+    return ",".join(parts) + "," + body
+
+
+@register_extra("semdedup_embeddings", _semdedup_oracle())
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table: k-means (K=8,
+    3 iters, the embedding_kmeans contract) then within-cluster cosine
+    pruning at tau=0.40 (dataset-relative, like the paper's per-dataset eps; this synthetic corpus tops out at cos ~0.48), keeping the member of each duplicate group
+    FARTHEST from its centroid (the paper's diversity-preserving rule).
+    The within-cluster pairwise join is the paper's own O(n^2) escape:
+    cluster count is the dial that bounds it. See
+    operators/similarity.semdedup for the full scale/determinism
+    argument."""
+    from parallel_dataflow_spark.operators.similarity import semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"),
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        tau=_SEMDEDUP_TAU,
+    )
+
+
+_C4_SPAN_W = 4
+
+_C4_SPAN_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    s AS (
+      SELECT w.doc_id, CAST(u.i AS INTEGER) AS span_idx,
+             array_to_string(
+               words[u.i * {_C4_SPAN_W} + 1 : u.i * {_C4_SPAN_W} + {_C4_SPAN_W}],
+               ' ') AS span
+      FROM w, UNNEST(range(CAST(ceil(len(words) / {_C4_SPAN_W}.0) AS BIGINT))) AS u(i)
+    ),
+    r AS (
+      SELECT s.*, row_number() OVER (PARTITION BY span
+                  ORDER BY doc_id, span_idx) AS rn
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_spans,
+           CAST(count(*) FILTER (WHERE rn > 1) AS INTEGER) AS n_removed,
+           coalesce(
+             array_to_string(list(span ORDER BY span_idx)
+                             FILTER (WHERE rn = 1), ' '),
+             '') AS text_clean
+    FROM r GROUP BY doc_id"""
+
+
+@register_extra("dedup_c4_spans", _C4_SPAN_ORACLE)
+def dedup_c4_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 keep-first span dedup (Raffel et al. 2020 S 2.2) with 4-word
+    non-overlapping blocks: every occurrence of a span after its global
+    (doc_id, span_idx)-first is cut from the rebuilt text. Raw text never
+    shuffles — the keep-first window runs on xxhash64 triples and the
+    rebuild filters spans map-side by a per-doc removal-position array
+    (operators/dedup.c4_span_dedup). The oracle replays the rule on span
+    strings; the 64-bit hash stands in with ~n^2/2^65 collision odds."""
+    from parallel_dataflow_spark.operators.dedup import c4_span_dedup
+
+    return c4_span_dedup(_t(spark, sf_dir, "documents"), span_words=_C4_SPAN_W)
