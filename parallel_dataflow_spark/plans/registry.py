@@ -3821,3 +3821,65 @@ def dedup_c4_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_dataflow_spark.operators.dedup import c4_span_dedup
 
     return c4_span_dedup(_t(spark, sf_dir, "documents"), span_words=_C4_SPAN_W)
+
+
+_DSIR_B, _DSIR_TARGET, _DSIR_K = 1024, "src0", 100
+
+_DSIR_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             {tx.MD5_60_SQL.format(x='word')} % {_DSIR_B} AS b
+      FROM w WHERE word <> ''
+    ),
+    c AS (
+      SELECT b,
+             sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS c_t,
+             sum(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS c_r
+      FROM f GROUP BY b
+    ),
+    tot AS (SELECT sum(c_t) AS t, sum(c_r) AS r FROM c),
+    lr AS (
+      SELECT b,
+             CAST(round((ln((c_t + 1.0) / (tot.t + {_DSIR_B}.0))
+                       - ln((c_r + 1.0) / (tot.r + {_DSIR_B}.0))) * 1e6)
+                  AS BIGINT) AS lr_micro
+      FROM c CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS INTEGER) AS n_words,
+             CAST(sum(lr.lr_micro) AS BIGINT) AS logw_micro
+      FROM f JOIN lr ON f.b = lr.b
+      WHERE f.source <> '{_DSIR_TARGET}'
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_words, logw_micro,
+           (row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC)
+            <= {_DSIR_K}) AS kept
+    FROM scored"""
+
+
+@register_extra("dsir_select_docs", _DSIR_ORACLE)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (Xie et al. 2023): raw-pool
+    documents scored by a hashed-unigram target-vs-raw log-likelihood
+    ratio, target domain = source 'src0'; kept = the top-100 by
+    (logw_micro DESC, doc_id). Weights are BIGINT micro-nat
+    sums (one float->int conversion per model bucket, then exact integer
+    arithmetic), so the kept boundary is partitioning- and fold-order-
+    independent — see operators/dsir.dsir_select for the full scale and
+    determinism argument."""
+    from parallel_dataflow_spark.operators.dsir import dsir_select
+
+    return dsir_select(
+        _t(spark, sf_dir, "documents"),
+        target_source=_DSIR_TARGET,
+        buckets=_DSIR_B,
+        select_k=_DSIR_K,
+    )
