@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
-            "pipeline", "neardup", "drift", "mix", "quota",
+            "pipeline", "neardup", "drift", "mix", "quota", "spandedup",
         ],
         default="tumbling",
     )
@@ -201,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
             "drift": J.run_drift_job,
             "mix": J.run_mix_job,
             "quota": J.run_quota_job,
+            "spandedup": J.run_spandedup_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

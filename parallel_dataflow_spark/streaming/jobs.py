@@ -836,3 +836,44 @@ def run_quota_job(
         .start()
     )
     return q, sink
+
+
+def run_spandedup_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    span_tokens: int = 16,
+    ttl_sec: int = 3600,
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 4,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming C4-style keep-first span dedup — the 14th deployable:
+    non-overlapping ``span_tokens``-token spans are hashed map-side, and
+    per span hash the buffered-release processor
+    (streaming/spandedup.SpanDedupProcessor, apws fallback) assigns a
+    batching-invariant owner (first in global (event_ts, ck) order within
+    the watermark+ttl horizon) and running duplicate counts, published to
+    an exactly-once sink keyed by the span hash (latest-wins = final).
+
+    Scale shape: token arrays die in the JVM prestage; the stateful
+    exchange carries fixed-width (h, ts, doc_id, span_idx, ck) rows;
+    per-key state is one owner record + the sub-watermark buffer, purged
+    by timer once the horizon closes — a span hash that stops arriving
+    retains nothing. Sub-document dedup at the stream edge is the
+    streaming face of ExactSubstr/C4: it catches boilerplate the moment
+    it floods in instead of in a nightly batch pass."""
+    from parallel_dataflow_spark.streaming.spandedup import span_dedup_stream
+
+    sink = make_sink(spark, work_dir, ["h"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    out = span_dedup_stream(
+        stream, span_tokens, ttl_sec, watermark, api="auto"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink

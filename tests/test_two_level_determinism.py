@@ -41,6 +41,13 @@ QUERIES = [
                                    # combining order at any level
     "quota_admission_events",      # window cumsum admission: (ts, ck)
                                    # order contract vs partition count
+    "semdedup_embeddings",         # kmeans float folds + within-cluster
+                                   # pairwise cosine: the 6-dp contract
+                                   # must hold through the dedup rule
+    "dsir_select_docs",            # BIGINT micro-nat weight sums must be
+                                   # exactly fold-order-independent
+    "dedup_c4_spans",              # global keep-first window + map-side
+                                   # text rebuild vs partitioning
 ]
 
 _PROBE = r"""
