@@ -119,6 +119,11 @@ _BENIGN_TRACE_MARKERS = (
     "SparkContext was shut down",
     "Executor is shutting down",
     "BlockManager",  # late block-removal RPCs after context stop
+    # state-store maintenance thread racing query/session teardown — the
+    # provider is already unloaded when maintenance fires (WARN-level,
+    # non-fatal by Spark's own logging choice)
+    "Could not unload state store provider",
+    "cannot do maintenance on StateStore",
 )
 
 
@@ -150,7 +155,11 @@ def _classify_jvm_traces(log_path: str) -> tuple[list[dict], list[str]]:
         is_frame = s.lstrip().startswith(("at ", "Caused by:", "... "))
         is_header = (
             ("Exception" in s or "Error" in s)
+            # log4j lines carry a timestamp BEFORE the level, so match the
+            # level anywhere, not just at line start
             and not s.lstrip().startswith(("WARN", "INFO", "ERROR StatusLogger"))
+            and " WARN " not in s
+            and " INFO " not in s
         )
         if is_frame or (is_header and not cur):
             cur.append(s)

@@ -125,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
-            "pipeline", "neardup", "drift", "mix", "quota", "spandedup",
+            "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
         ],
         default="tumbling",
     )
@@ -202,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
             "mix": J.run_mix_job,
             "quota": J.run_quota_job,
             "spandedup": J.run_spandedup_job,
+            "dsirgate": J.run_dsir_gate_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -877,3 +877,153 @@ def run_spandedup_job(
         .start()
     )
     return q, sink
+
+
+def calibrate_dsir_lr(
+    spark: SparkSession,
+    input_dir: str,
+    target_source: str = "wiki",
+    buckets: int = 1024,
+) -> list[int]:
+    """Batch calibration for the streaming DSIR gate: hashed-unigram
+    (token mod ``buckets``) target-vs-rest log-likelihood-ratio model
+    over the sequence table, in integer micro-nats (the operators/dsir
+    contract: one float->int conversion per bucket, exact integer
+    arithmetic everywhere after). Returns a dense ``buckets``-long list —
+    small enough to bake into the streaming plan as a literal."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    df = read_sequence_table(spark, input_dir)
+    b_ct = int(buckets)
+    is_t = F.col("source") == target_source
+    counts = (
+        df.select("source", F.explode("tokens").alias("t"))
+        .groupBy((F.pmod("t", F.lit(b_ct))).alias("b"))
+        .agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
+            F.sum(F.when(~is_t, 1).otherwise(0)).alias("c_r"),
+        )
+        .collect()
+    )
+    by_b = {int(r["b"]): (int(r["c_t"]), int(r["c_r"])) for r in counts}
+    tot_t = sum(v[0] for v in by_b.values())
+    tot_r = sum(v[1] for v in by_b.values())
+    lr = []
+    for b in range(b_ct):
+        c_t, c_r = by_b.get(b, (0, 0))
+        val = math.log((c_t + 1.0) / (tot_t + b_ct)) - math.log(
+            (c_r + 1.0) / (tot_r + b_ct)
+        )
+        lr.append(int(round(val * 1e6)))
+    return lr
+
+
+def _dsir_weight(lr_micro: list[int], buckets: int):
+    """Per-row DSIR weight as a pure-JVM fold: the ≤``buckets``-element
+    micro-nat model is an array LITERAL in the plan (the broadcast-
+    centroid trick applied to a language model), so scoring every token
+    of every sequence costs zero exchanges and zero Python."""
+    from pyspark.sql import functions as F
+
+    lr_arr = F.array(*[F.lit(int(v)) for v in lr_micro])
+    return F.aggregate(
+        F.transform(
+            F.col("tokens"),
+            lambda t: F.element_at(lr_arr, F.pmod(t, F.lit(int(buckets))) + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dsir_admission(df: DataFrame, lr_micro: list[int], buckets: int,
+                    window: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    adm = (_dsir_weight(lr_micro, buckets) > 0).alias("admitted")
+    return (
+        df.withColumn("admitted", adm)
+        .groupBy(F.window("event_ts", window).alias("w"), "source")
+        .agg(
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_admitted"),
+            F.sum(F.when(~F.col("admitted"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_rejected"),
+            F.sum(F.when(F.col("admitted"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_admitted"),
+        )
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "docs_admitted",
+            "docs_rejected",
+            "tokens_admitted",
+        )
+    )
+
+
+def run_dsir_gate_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    target_source: str = "wiki",
+    buckets: int = 1024,
+    lr_micro: list[int] | None = None,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming DSIR admission gate — the 15th deployable and the
+    calibrate-offline / enforce-online twin of the batch
+    ``dsir_select_docs`` entry (Xie et al. 2023): sequences whose hashed-
+    unigram target-vs-rest importance weight is positive are admitted at
+    the stream edge; per-(source, window) admission stats go to an
+    exactly-once sink keyed (source, window_start).
+
+    Scale shape: the calibrated model is ≤``buckets`` integers baked into
+    the plan as an array literal, so admission is a pure scan-side JVM
+    fold over each row's tokens — rejected rows die before ANY exchange,
+    there is no Python and no broadcast join in the gate, and the only
+    stateful stage is the windowed stats aggregation (one partial per map
+    task). Weights are exact BIGINT micro-nat sums (the operators/dsir
+    contract), so admission is deterministic under any partitioning,
+    batching, or replay."""
+    if lr_micro is None:
+        lr_micro = calibrate_dsir_lr(spark, input_dir, target_source, buckets)
+    sink = make_sink(
+        spark, work_dir, ["source", "window_start"], iceberg_table
+    )
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    agg = _dsir_admission(
+        stream.withWatermark("event_ts", watermark), lr_micro, buckets, window
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_dsir_gate_golden(
+    spark: SparkSession,
+    input_dir: str,
+    lr_micro: list[int],
+    buckets: int = 1024,
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Batch twin of run_dsir_gate_job's admission table."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    return _dsir_admission(
+        read_sequence_table(spark, input_dir), lr_micro, buckets, window
+    )
