@@ -1,0 +1,209 @@
+"""Deterministic, oracle-replayable sketches: HyperLogLog and Count-Min.
+
+Sketches are the 100 TB answer for cardinality/frequency questions: a
+fixed-size mergeable summary (KBs per group) replaces exact distinct's
+per-key shuffle state that grows with the key universe. Spark's built-in
+``approx_count_distinct`` is the production fast path (HLL++, JVM
+intrinsics) but its register layout is engine-private, so it can only be
+tolerance-tested (see ``sketch_events_stats``). The variants here trade a
+slower hash (md5) for a sketch whose every register is REPLAYABLE by a
+DuckDB oracle — the same design as md5_60bit elsewhere in the repo: a
+verification-grade twin of the production operator.
+
+Determinism contract (the repo-wide rules applied to sketches):
+- register values are integers derived from md5 (cross-engine identical);
+- register folds use exact BIGINT arithmetic (``1 << (49 - rho)`` sums,
+  CMS integer counts) — fold-order-independent, so any partitioning /
+  batching / replay produces byte-identical sketches;
+- the only doubles are the final estimator arithmetic (IEEE mult/div on
+  exact integers — deterministic) and one ``ln`` in the linear-counting
+  branch (same 1-ulp-class precedent as ``bigram_logprob_docs``),
+  rounded to 4 dp on both engines.
+
+Scale shape (audited via .explain at sf0.01):
+- hll_registers: ONE partial-agg shuffle whose output is register-bounded
+  (≤ groups × 2^p rows) — the map side folds each partition's rows into
+  at most 2^p registers before anything crosses the wire;
+- hll_estimate: arithmetic over the register table only (group-bounded);
+- cms_update: ONE partial-agg shuffle bounded by depth × width cells,
+  independent of both corpus size and vocabulary size (the whole point:
+  an unbounded token universe folds into a constant-size table);
+- cms_lookup: broadcast of the constant-size cell table onto a constant
+  probe list — no data-volume work at all.
+
+Streaming: the register table is the streaming state. ``max(rho)`` is
+monotone, so update-mode running emissions through a latest-wins keyed
+sink converge to the exact batch registers under any replay — the same
+argument as the running-totals quota sink (streaming/jobs.py). State per
+window is ≤ 2^p rows REGARDLESS of how many distinct keys the window saw,
+vs exact distinct-count state that grows with cardinality; this is why a
+sketch, not dropDuplicates, is the 10^12-sequence cardinality design.
+
+Reference parity: the reference engine has no sketch operator; this tier
+extends SURVEY.md §2's "beyond the reference" pipeline ops (cf. the
+Misra-Gries pairing: operators/heavy_hitters.py is frequency-by-exactness,
+cms_update is frequency-by-bounded-memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parallel_dataflow_spark.functions.text import md5_60bit
+
+# Register-count exponent: m = 2^p registers. p=12 → 4096 registers,
+# ~1.04/sqrt(m) ≈ 1.6% relative error — the HLL standard-error law.
+HLL_P = 12
+HLL_M = 1 << HLL_P
+# Flajolet et al. 2007 bias constant alpha_m for m ≥ 128.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# md5_60bit yields 60 hash bits: p for the bucket, 48 for the rho pattern.
+_RHO_BITS = 60 - HLL_P
+_RHO_MAX = _RHO_BITS + 1  # rho when the remaining bits are all zero
+# Single shared estimator numerator alpha·m²·2^49, precomputed once in
+# Python and embedded verbatim in BOTH engines' plans so neither engine's
+# constant folding can associate the product differently.
+HLL_EST_NUM = HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(1 << _RHO_MAX)
+
+
+def hll_rho(item: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one item: bucket = low p bits of the 60-bit md5
+    hash, rho = 1 + leading zeros of the remaining 48 bits. Leading zeros
+    via ``length(bin(w))`` — ``bin`` drops leading zeros identically on
+    Spark and DuckDB, so rho = 49 - length(bin(w)) (w=0 → 49)."""
+    h = md5_60bit(item)
+    bucket = F.pmod(h, F.lit(HLL_M)).cast("int")
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(_RHO_MAX)).otherwise(
+        F.lit(_RHO_MAX) - F.length(F.bin(w))
+    )
+    return bucket, rho.cast("int")
+
+
+def hll_registers(
+    df: DataFrame, key_cols: list[str], item_col: str
+) -> DataFrame:
+    """Mergeable HLL register table: (key..., bucket, rho=max rho seen).
+
+    The ONLY data-volume operation: one hash-agg shuffle whose map side
+    folds every partition into ≤ 2^p registers per key before the
+    exchange. Register tables from disjoint inputs merge by groupBy-max —
+    the property that makes HLL state both streamable and tree-reducible.
+    """
+    bucket, rho = hll_rho(F.col(item_col))
+    return (
+        df.select(*key_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Finalize register tables into cardinality estimates.
+
+    Exact-integer register fold: each register contributes
+    ``1 << (49 - rho)`` (rho ≤ 49 → ≥ 1, exact in BIGINT); the m - nz
+    unobserved registers contribute ``1 << 49`` each. The fold-order-
+    independent BIGINT sum S' relates to the classic harmonic sum by
+    Z = S' / 2^49, so E_raw = alpha · m² · 2^49 / S'. Linear-counting
+    correction (Flajolet small-range regime): when E_raw ≤ 2.5m and
+    empty registers exist, E = m · ln(m / V)."""
+    per_key = registers.groupBy(*key_cols).agg(
+        F.count("*").alias("registers_used"),
+        F.sum(F.expr(f"shiftleft(1L, {_RHO_MAX} - rho)")).alias("register_sum"),
+    )
+    s_total = (
+        F.col("register_sum")
+        + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(1 << _RHO_MAX)
+    )
+    e_raw = F.lit(HLL_EST_NUM) / s_total.cast("double")
+    zeros = F.lit(HLL_M) - F.col("registers_used")
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return per_key.select(
+        *key_cols,
+        "registers_used",
+        "register_sum",
+        F.round(estimate, 4).alias("hll_estimate"),
+    )
+
+
+def hll_sql(item_expr: str) -> dict[str, str]:
+    """DuckDB SQL fragments replaying hll_rho exactly (same md5 slice,
+    same shift/mod, same bin-length rho). Returned as {bucket, rho}
+    expressions over ``item_expr`` for composition into oracle CTEs."""
+    h = f"CAST(concat('0x', substr(md5({item_expr}), 1, 15)) AS BIGINT)"
+    return {
+        "bucket": f"(({h}) % {HLL_M})",
+        "rho": (
+            f"(CASE WHEN (({h}) >> {HLL_P}) = 0 THEN {_RHO_MAX} "
+            f"ELSE {_RHO_MAX} - length(bin(({h}) >> {HLL_P})) END)"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_cells(item: Column) -> Column:
+    """Array of CMS (row, col) cell ids for one item: row i hashes
+    ``'cms<i>:' || item`` with md5_60bit mod width — depth independent
+    hash functions from salted md5, replayable cross-engine. Encoded as
+    row * width + col so one explode yields flat cell ids."""
+    return F.array(
+        *[
+            (
+                F.lit(i * CMS_WIDTH)
+                + F.pmod(
+                    md5_60bit(F.concat(F.lit(f"cms{i}:"), item)),
+                    F.lit(CMS_WIDTH),
+                )
+            ).cast("int")
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_update(df: DataFrame, item_col: str) -> DataFrame:
+    """Fold a stream of items into the constant-size CMS cell table
+    (cell, cnt). One partial-agg shuffle; output ≤ depth × width rows no
+    matter the corpus or vocabulary size."""
+    return (
+        df.select(F.explode(cms_cells(F.col(item_col))).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_lookup(cms: DataFrame, probes: DataFrame, probe_col: str) -> DataFrame:
+    """Point-estimate each probe item: min over the depth rows of its
+    cell counts (missing cell → 0). The cell table is constant-size, so
+    this is a broadcast join against the probe list — zero data-volume
+    work."""
+    cells = probes.select(
+        probe_col, F.posexplode(cms_cells(F.col(probe_col))).alias("row", "cell")
+    )
+    return (
+        cells.join(F.broadcast(cms), "cell", "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(probe_col)
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+
+
+def cms_cell_sql(item_expr: str, row: int) -> str:
+    """DuckDB expression for the CMS cell id of row ``row`` — replays
+    cms_cells exactly."""
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('cms{row}:', {item_expr})), 1, 15))"
+        " AS BIGINT)"
+    )
+    return f"({row * CMS_WIDTH} + (({h}) % {CMS_WIDTH}))"

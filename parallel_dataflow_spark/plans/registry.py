@@ -3883,3 +3883,94 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=_DSIR_B,
         select_k=_DSIR_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches: oracle-replayable HLL + Count-Min
+# (operators/sketches.py — the verification-grade twins of
+#  sketch_events_stats' engine-private HLL++/t-digest)
+# ---------------------------------------------------------------------------
+
+from parallel_dataflow_spark.operators import sketches as sk
+
+_HLL_FRAG = sk.hll_sql("CAST(user_id AS VARCHAR)")
+_HLL_ORACLE = f"""
+    WITH r AS (
+      SELECT event_type,
+             {_HLL_FRAG['bucket']} AS bucket,
+             max({_HLL_FRAG['rho']}) AS rho
+      FROM events
+      GROUP BY event_type, {_HLL_FRAG['bucket']}
+    ), k AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS registers_used,
+             CAST(sum(1::BIGINT << (49 - rho)) AS BIGINT) AS register_sum
+      FROM r GROUP BY event_type
+    ), e AS (
+      SELECT event_type, registers_used, register_sum,
+             CAST({sk.HLL_EST_NUM!r} AS DOUBLE)
+             / CAST(register_sum
+                    + ({sk.HLL_M} - registers_used) * (1::BIGINT << 49)
+                    AS DOUBLE) AS e_raw,
+             {sk.HLL_M} - registers_used AS zeros
+      FROM k
+    )
+    SELECT event_type, registers_used, register_sum,
+           round(CASE WHEN e_raw <= {2.5 * sk.HLL_M!r} AND zeros > 0
+                      THEN {float(sk.HLL_M)!r} * ln({float(sk.HLL_M)!r}
+                                                    / CAST(zeros AS DOUBLE))
+                      ELSE e_raw END, 4) AS hll_estimate
+    FROM e"""
+
+
+@register_extra("sketch_hll_users", _HLL_ORACLE)
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-users per event_type: every register is
+    md5-derived and BIGINT-folded, so the full sketch (not just the
+    estimate) is replayed hash-exact by the DuckDB oracle — the
+    verification-grade twin of sketch_events_stats' approx_count_distinct.
+    ONE register-bounded shuffle; see operators/sketches.py for the
+    mergeability/streaming-state argument."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    regs = sk.hll_registers(e, ["event_type"], "uid")
+    return sk.hll_estimate(regs, ["event_type"])
+
+
+_CMS_PROBES = ["scan", "column", "window", "order", "sort", "zzz-absent"]
+_CMS_CELLS = ", ".join(sk.cms_cell_sql("word", i) for i in range(sk.CMS_DEPTH))
+_CMS_ORACLE = f"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), cells AS (
+      SELECT unnest([{_CMS_CELLS}]) AS cell
+      FROM w WHERE word != ''
+    ), cms AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY cell
+    ), probes AS (
+      SELECT unnest({_CMS_PROBES!r}) AS word
+    ), pcells AS (
+      SELECT word, unnest([{_CMS_CELLS}]) AS cell FROM probes
+    )
+    SELECT p.word,
+           CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_estimate
+    FROM pcells p LEFT JOIN cms ON p.cell = cms.cell
+    GROUP BY p.word"""
+
+
+@register_extra("sketch_cms_tokens", _CMS_ORACLE)
+def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency estimates for a fixed probe list (one
+    absent probe exercises the zero path). The corpus folds into a
+    constant depth×width cell table in ONE shuffle regardless of
+    vocabulary size; probes resolve via a broadcast of that table.
+    Salted-md5 rows make the whole sketch oracle-replayable."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    cms = sk.cms_update(words, "word")
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], ["word"])
+    return sk.cms_lookup(cms, probes, "word")
