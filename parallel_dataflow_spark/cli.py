@@ -126,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
+            "hll",
         ],
         default="tumbling",
     )
@@ -203,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
             "quota": J.run_quota_job,
             "spandedup": J.run_spandedup_job,
             "dsirgate": J.run_dsir_gate_job,
+            "hll": J.run_hll_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from parallel_dataflow_spark.sources.sequences import read_sequence_stream
@@ -1027,3 +1028,83 @@ def batch_dsir_gate_golden(
     return _dsir_admission(
         read_sequence_table(spark, input_dir), lr_micro, buckets, window
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL cardinality: per-window distinct-doc_id registers
+# ---------------------------------------------------------------------------
+
+def _hll_window_registers(df: DataFrame, window: str, watermark: str | None) -> DataFrame:
+    """Per-(window, bucket) max-rho register rows from the sequence
+    stream/table. The md5 bucket/rho derivation is scan-side; the only
+    stateful stage is the (window, bucket) max agg whose state is ≤ 2^p
+    rows per window REGARDLESS of how many distinct doc_ids the window
+    saw — the reason a sketch, not dropDuplicates+count, is the
+    10^12-sequence cardinality design (operators/sketches.py)."""
+    from parallel_dataflow_spark.operators.sketches import hll_rho
+
+    bucket, rho = hll_rho(F.col("doc_id").cast("string"))
+    pre = df.select(
+        "event_ts", bucket.alias("bucket"), rho.alias("rho")
+    )
+    if watermark is not None:
+        pre = pre.withWatermark("event_ts", watermark)
+    return (
+        pre.groupBy(F.window("event_ts", window).alias("w"), "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.col("w.start").cast("timestamp_ltz").cast("long").alias("window_start"),
+            "bucket",
+            "rho",
+        )
+    )
+
+
+def run_hll_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming HLL distinct-documents-per-window — the 16th deployable.
+
+    Update-mode running register emissions through the latest-wins keyed
+    sink (key = (window_start, bucket)) converge to the exact batch
+    registers under any batching/replay because max() is monotone — the
+    running-totals sink argument (run_quota_job) applied to a sketch.
+    Registers stay mergeable downstream: a global or coarser-grain
+    cardinality is one groupBy-max away from the sink table, with no
+    reprocessing of the stream."""
+    sink = make_sink(spark, work_dir, ["window_start", "bucket"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    regs = _hll_window_registers(stream, window, watermark)
+    q = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def hll_report(registers: DataFrame) -> DataFrame:
+    """Finalize a (window_start, bucket, rho) sink table into per-window
+    cardinality estimates — runs on the register table only (≤ 2^p rows
+    per window), never on the stream."""
+    from parallel_dataflow_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(
+        registers.select("window_start", "bucket", "rho"), ["window_start"]
+    )
+
+
+def batch_hll_golden(
+    spark: SparkSession, input_dir: str, window: str = "10 minutes"
+) -> DataFrame:
+    """Batch twin of run_hll_job's register table."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    return _hll_window_registers(read_sequence_table(spark, input_dir), window, None)
