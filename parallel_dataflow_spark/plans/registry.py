@@ -3974,3 +3974,76 @@ def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = sk.cms_update(words, "word")
     probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], ["word"])
     return sk.cms_lookup(cms, probes, "word")
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (operators/perplexity.py)
+# ---------------------------------------------------------------------------
+
+_PPL_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), lw AS (SELECT * FROM toks WHERE len(ws) >= 2),
+    bg AS (
+      SELECT doc_id, lang, source,
+             list_extract(ws, i) AS w1, list_extract(ws, i + 1) AS w2
+      FROM lw, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    tgt AS (SELECT * FROM bg WHERE source = 'src0'),
+    c1 AS (SELECT w1, count(*) AS c1 FROM tgt GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT w) AS vocab
+      FROM (SELECT w1 AS w FROM tgt UNION ALL SELECT w2 FROM tgt)
+    ),
+    b12c AS (SELECT w1, w2, count(*) AS c12 FROM tgt GROUP BY w1, w2),
+    b12 AS (
+      SELECT b.w1, b.w2,
+             CAST(round(ln((b.c12 + 1.0) / (c1.c1 + v.vocab)) * 1e6) AS BIGINT)
+               AS lp_micro
+      FROM b12c b JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    fl AS (
+      SELECT w1,
+             CAST(round(ln(1.0 / (c1 + v.vocab)) * 1e6) AS BIGINT) AS floor_micro
+      FROM c1 CROSS JOIN v
+    ),
+    gf AS (
+      SELECT CAST(round(ln(1.0 / greatest(vocab, 1)) * 1e6) AS BIGINT) AS g
+      FROM v
+    ),
+    sc AS (
+      SELECT bg.doc_id, bg.lang,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(coalesce(b12.lp_micro, fl.floor_micro, gf.g)) AS BIGINT)
+               AS score_micro
+      FROM bg
+      LEFT JOIN b12 ON bg.w1 = b12.w1 AND bg.w2 = b12.w2
+      LEFT JOIN fl ON bg.w1 = fl.w1
+      CROSS JOIN gf
+      GROUP BY bg.doc_id, bg.lang
+    )
+    SELECT doc_id, lang, n_bigrams, score_micro,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY CAST(score_micro AS DOUBLE)
+                                        / CAST(n_bigrams AS DOUBLE) DESC,
+                                        doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM sc"""
+
+
+@register_extra("perplexity_buckets", _PPL_ORACLE)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language (Wenzek
+    et al. 2020): bigram LM with add-one smoothing trained on the 'src0'
+    target domain, integer micro-nat document scores, per-lang ntile(3)
+    on (avg log-prob DESC, doc_id). See operators/perplexity.py for the
+    scale and determinism argument."""
+    from parallel_dataflow_spark.operators.perplexity import (
+        perplexity_buckets as ppl,
+    )
+
+    out, _ = ppl(_t(spark, sf_dir, "documents"), target_source="src0")
+    return out
