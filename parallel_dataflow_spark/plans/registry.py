@@ -4047,3 +4047,51 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _ = ppl(_t(spark, sf_dir, "documents"), target_source="src0")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-length block chunking (operators/packing.py:chunk_fixed_blocks)
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ), offs AS (
+      SELECT source, doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM toks
+    ), spans AS (
+      SELECT source, doc_id, n_tok, off, b.block_id
+      FROM offs, LATERAL unnest(
+        generate_series(off // 512, (off + n_tok - 1) // 512)) AS b(block_id)
+    )
+    SELECT source, block_id,
+           CAST(count(*) AS BIGINT) AS n_slices,
+           CAST(sum(least(n_tok, (block_id + 1) * 512 - off)
+                    - greatest(0, block_id * 512 - off)) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           max(CASE WHEN off < block_id * 512 THEN 1 ELSE 0 END) = 1
+             AS boundary_doc
+    FROM spans
+    GROUP BY source, block_id"""
+
+
+@register_extra("chunk_fixed_blocks", _CHUNK_ORACLE)
+def chunk_fixed_blocks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style 512-token fixed-block chunk plan per source: closed-form
+    from the token prefix sum (one running-sum window + one bounded
+    explode + one agg), so unlike pack_sequences_greedy it needs no
+    sequential kernel — see operators/packing.py:chunk_fixed_blocks."""
+    from parallel_dataflow_spark.operators.packing import chunk_fixed_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))
+    base = d.select("doc_id", "source", n_tok.cast("long").alias("n_tok"))
+    return chunk_fixed_blocks(base, block=512)
