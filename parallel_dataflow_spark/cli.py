@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
-            "hll",
+            "hll", "cms",
         ],
         default="tumbling",
     )
@@ -205,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
             "spandedup": J.run_spandedup_job,
             "dsirgate": J.run_dsir_gate_job,
             "hll": J.run_hll_job,
+            "cms": J.run_cms_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -1108,3 +1108,113 @@ def batch_hll_golden(
     from parallel_dataflow_spark.sources.sequences import read_sequence_table
 
     return _hll_window_registers(read_sequence_table(spark, input_dir), window, None)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min: per-window token-frequency sketch cells
+# ---------------------------------------------------------------------------
+
+def _cms_window_cells(df: DataFrame, window: str, watermark: str | None) -> DataFrame:
+    """Per-(window, cell) counts over the token stream. Tokens explode
+    map-side into CMS cell ids (token arrays die at the scan — only
+    fixed-width (event_ts, cell) rows reach the stateful agg); state is
+    ≤ depth × width rows per window regardless of vocabulary size."""
+    from parallel_dataflow_spark.operators.sketches import cms_cells
+
+    pre = df.select(
+        "event_ts",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("tokens"),
+                    lambda t: cms_cells(t.cast("string")),
+                )
+            )
+        ).alias("cell"),
+    )
+    if watermark is not None:
+        pre = pre.withWatermark("event_ts", watermark)
+    return (
+        pre.groupBy(F.window("event_ts", window).alias("w"), "cell")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ltz").cast("long").alias("window_start"),
+            "cell",
+            "cnt",
+        )
+    )
+
+
+def run_cms_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming Count-Min token-frequency sketch — the 17th deployable,
+    the sum-mergeable sibling of run_hll_job's max-mergeable registers.
+
+    Update-mode emits RUNNING cell counts; counts are associative sums of
+    exact integers, so the emissions are batching-invariant and the
+    latest-wins keyed sink (key = (window_start, cell)) converges to the
+    exact batch cell table under any replay — the running-totals argument
+    (run_quota_job) applied to a sketch. Any token's frequency estimate
+    in any window is then a constant-time min over depth cells of the
+    sink table, with the one-sided CMS guarantee."""
+    sink = make_sink(spark, work_dir, ["window_start", "cell"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    cells = _cms_window_cells(stream, window, watermark)
+    q = (
+        cells.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def cms_report(cells: DataFrame, probe_tokens: list[int]) -> DataFrame:
+    """Per-window frequency estimates for a probe token list, from the
+    sink cell table only (constant-size per window): min over the depth
+    cells of each probe."""
+    from parallel_dataflow_spark.operators.sketches import cms_cells
+
+    spark = cells.sparkSession
+    probes = spark.createDataFrame(
+        [(int(t),) for t in probe_tokens], "token int"
+    ).select(
+        "token",
+        F.explode(cms_cells(F.col("token").cast("string"))).alias("cell"),
+    )
+    from parallel_dataflow_spark.operators.sketches import CMS_DEPTH
+
+    return (
+        cells.join(F.broadcast(probes), "cell")
+        .groupBy("window_start", "token")
+        .agg(
+            F.min("cnt").cast("long").alias("min_cnt"),
+            F.count("*").alias("n_cells"),
+        )
+        # a probe with any all-zero cell in this window has estimate 0
+        # (the missing cell never materialized a sink row)
+        .select(
+            "window_start",
+            "token",
+            F.when(F.col("n_cells") < CMS_DEPTH, F.lit(0))
+            .otherwise(F.col("min_cnt"))
+            .cast("long")
+            .alias("cms_estimate"),
+        )
+    )
+
+
+def batch_cms_golden(
+    spark: SparkSession, input_dir: str, window: str = "10 minutes"
+) -> DataFrame:
+    """Batch twin of run_cms_job's cell table."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    return _cms_window_cells(read_sequence_table(spark, input_dir), window, None)
