@@ -47,7 +47,7 @@ cms_update is frequency-by-bounded-memory).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from parallel_dataflow_spark.functions.text import md5_60bit
@@ -207,3 +207,72 @@ def cms_cell_sql(item_expr: str, row: int) -> str:
         " AS BIGINT)"
     )
     return f"({row * CMS_WIDTH} + (({h}) % {CMS_WIDTH}))"
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantiles
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 256
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Deterministic quantile estimates from a fixed-grid histogram — the
+    third sketch family member (HLL = cardinality, CMS = frequency,
+    histogram = quantiles), and the oracle-replayable twin of
+    percentile_approx's engine-private t-digest.
+
+    Two corpus passes, both collapsing map-side: (1) per-key min/max
+    (exact), (2) per-(key, bucket) counts with bucket = least(B-1,
+    floor((v - min) / w)), w = (max - min)/B. Every arithmetic step is
+    IEEE double ops on identical inputs — deterministic cross-engine —
+    and counts are exact integers, so the whole histogram replays
+    hash-exact. The estimate for quantile q is the LOWER EDGE of the
+    first bucket whose cumulative count reaches ceil(q*n): one-sided
+    within range/B of the true order statistic. The cumulative window
+    runs over the bucket-bounded histogram (≤ B rows per key), never the
+    data."""
+    mm = df.groupBy(*key_cols).agg(
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.count(value_col).alias("n"),
+    )
+    w_expr = (F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BUCKETS))
+    bucket = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(HIST_BUCKETS - 1),
+            F.floor((F.col(value_col) - F.col("vmin")) / w_expr).cast("int"),
+        )
+    )
+    hist = (
+        df.join(F.broadcast(mm), key_cols)
+        .select(*key_cols, "vmin", "vmax", "n", bucket.alias("b"))
+        .groupBy(*key_cols, "vmin", "vmax", "n", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    win = (
+        Window.partitionBy(*key_cols)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(win))
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        name = f"p{int(round(q * 100))}_est"
+        target = F.ceil(F.lit(q) * F.col("n").cast("double"))
+        qb = F.min(F.when(F.col("cum") >= target, F.col("b")))
+        aggs.append(
+            F.round(
+                F.max("vmin")
+                + qb.cast("double")
+                * (F.max("vmax") - F.max("vmin"))
+                / F.lit(float(HIST_BUCKETS)),
+                6,
+            ).alias(name)
+        )
+    return cum.groupBy(*key_cols).agg(*aggs)

@@ -4095,3 +4095,52 @@ def chunk_fixed_blocks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))
     base = d.select("doc_id", "source", n_tok.cast("long").alias("n_tok"))
     return chunk_fixed_blocks(base, block=512)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (operators/sketches.py:histogram_quantiles)
+# ---------------------------------------------------------------------------
+
+_QHIST_ORACLE = """
+    WITH mm AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+             CAST(count(value) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), hist AS (
+      SELECT e.event_type, mm.vmin, mm.vmax, mm.n,
+             CASE WHEN mm.vmax = mm.vmin THEN 0
+                  ELSE least(255, CAST(floor((e.value - mm.vmin)
+                       / ((mm.vmax - mm.vmin) / 256.0)) AS INTEGER))
+             END AS b,
+             count(*) AS c
+      FROM events e JOIN mm USING (event_type)
+      GROUP BY e.event_type, mm.vmin, mm.vmax, mm.n, b
+    ), cum AS (
+      SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist
+    )
+    SELECT event_type, max(n) AS n,
+           round(max(vmin) + CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN b END)
+                 AS DOUBLE) * (max(vmax) - max(vmin)) / 256.0, 6) AS p50_est,
+           round(max(vmin) + CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN b END)
+                 AS DOUBLE) * (max(vmax) - max(vmin)) / 256.0, 6) AS p90_est,
+           round(max(vmin) + CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN b END)
+                 AS DOUBLE) * (max(vmax) - max(vmin)) / 256.0, 6) AS p99_est
+    FROM cum
+    GROUP BY event_type"""
+
+
+@register_extra("quantile_hist_value", _QHIST_ORACLE)
+def quantile_hist_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid histogram p50/p90/p99 of event value per event_type —
+    the deterministic, oracle-replayable twin of percentile_approx's
+    engine-private t-digest (third sketch family member: HLL =
+    cardinality, CMS = frequency, histogram = quantiles). Two map-side-
+    collapsing passes; the cumulative window runs over <= 256 rows per
+    key. Estimates are bucket lower edges: one-sided within range/256."""
+    from parallel_dataflow_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "events"), ["event_type"], "value"
+    )

@@ -110,3 +110,25 @@ def test_cms_merge_by_cell_sum(spark):
     whole = sk.cms_update(df, "word")
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_histogram_quantiles_within_grid_error(spark):
+    """Fixed-grid quantile estimates sit within one bucket width
+    (range/256) BELOW the true order statistic (lower-edge convention),
+    and the whole sketch is partition-count-invariant."""
+    from pyspark.sql import functions as F
+
+    rows = [(("g",) + (float(((i * 2654435761) % 10_000)) / 10.0,)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, ["grp", "v"]).repartition(8)
+    out = sk.histogram_quantiles(df, ["grp"], "v").collect()[0]
+    vals = sorted(r[1] for r in rows)
+    width = (vals[-1] - vals[0]) / sk.HIST_BUCKETS
+    import math
+
+    for q in (0.5, 0.9, 0.99):
+        true = vals[math.ceil(q * len(vals)) - 1]
+        est = out[f"p{int(q * 100)}_est"]
+        assert true - width <= est <= true, (q, est, true)
+
+    one = sk.histogram_quantiles(df.coalesce(1), ["grp"], "v").collect()[0]
+    assert one == out

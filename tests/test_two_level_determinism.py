@@ -48,6 +48,13 @@ QUERIES = [
                                    # exactly fold-order-independent
     "dedup_c4_spans",              # global keep-first window + map-side
                                    # text rebuild vs partitioning
+    "sketch_hll_users",            # BIGINT register folds: the sketch
+                                   # itself (not just the estimate) must
+                                   # be partition-count-independent
+    "perplexity_buckets",          # micro-nat LM scores + per-lang ntile:
+                                   # tercile boundaries vs parallelism
+    "chunk_fixed_blocks",          # prefix-sum offsets + bounded explode:
+                                   # block layout vs partitioning
 ]
 
 _PROBE = r"""
