@@ -110,3 +110,27 @@ def test_cms_job_exactly_once_resume(spark, tmp_path):
     q3.processAllAvailable()
     q3.stop()
     assert canon(sink3.read(spark)) == want
+
+
+def test_cms_stream_rocksdb_state_store(spark, tmp_path):
+    """Streaming CMS under the RocksDB state-store provider — the
+    at-scale backend for the per-(window, cell) agg state (same contract
+    as the dedup-job RocksDB test: identical output, different store)."""
+    src = _source(spark, tmp_path, seed=47)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q, sink = run_cms_job(spark, src, str(tmp_path / "rocks"))
+        q.processAllAvailable()
+        q.stop()
+        got = canon(sink.read(spark))
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    assert got == canon(batch_cms_golden(spark, src))
