@@ -1218,3 +1218,20 @@ def batch_cms_golden(
     from parallel_dataflow_spark.sources.sequences import read_sequence_table
 
     return _cms_window_cells(read_sequence_table(spark, input_dir), window, None)
+
+
+def hll_rollup(registers: DataFrame, grain_seconds: int = 3600) -> DataFrame:
+    """Coarsen a (window_start, bucket, rho) register table to a larger
+    window grain by groupBy-max — the mergeable-sketch payoff: an hourly
+    (or daily) cardinality rollup costs one register-bounded aggregation
+    over the sink table, with NO reprocessing of the stream. (Counts
+    could not do this: distinct counts are not additive across windows;
+    registers are max-mergeable by construction.)"""
+    coarse = (F.col("window_start") / grain_seconds).cast("long") * grain_seconds
+    return (
+        registers.select(
+            coarse.alias("window_start"), "bucket", "rho"
+        )
+        .groupBy("window_start", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -98,3 +98,34 @@ def test_hll_job_exactly_once_resume(spark, tmp_path):
     q3.processAllAvailable()
     q3.stop()
     assert canon(sink3.read(spark)) == want
+
+
+def test_hll_rollup_matches_direct_coarse_sketch(spark, tmp_path):
+    """Rolling 10-minute sink registers up to 1 hour by groupBy-max gives
+    EXACTLY the registers a direct 1-hour-window sketch of the stream
+    would produce — the mergeability law across window grains, which is
+    what makes multi-grain cardinality a sink-table query instead of a
+    stream reprocess."""
+    from parallel_dataflow_spark.streaming.jobs import hll_rollup
+
+    src = _source(spark, tmp_path, n_rows=2500, seed=53)
+    q, sink = run_hll_job(spark, src, str(tmp_path / "work"))
+    q.processAllAvailable()
+    q.stop()
+    rolled = canon(hll_rollup(sink.read(spark), 3600))
+    direct = canon(batch_hll_golden(spark, src, window="60 minutes"))
+    assert len(rolled) > 0
+    assert rolled == direct
+    # and the hourly estimates are still within the HLL error law
+    est = {r["window_start"]: r["hll_estimate"]
+           for r in hll_report(hll_rollup(sink.read(spark), 3600)).collect()}
+    exact = {
+        r["ws"]: r["d"]
+        for r in read_sequence_table(spark, src)
+        .groupBy(F.window("event_ts", "60 minutes").start
+                 .cast("timestamp_ltz").cast("long").alias("ws"))
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    for ws, d in exact.items():
+        assert abs(est[ws] - d) <= max(1.0, 4 * 0.0163 * d)
