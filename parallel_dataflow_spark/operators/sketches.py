@@ -1,4 +1,6 @@
-"""Deterministic, oracle-replayable sketches: HyperLogLog and Count-Min.
+"""Deterministic, oracle-replayable sketches: HyperLogLog (cardinality),
+Count-Min (frequency), Bloom (membership), KMV bottom-k (distinct +
+set-overlap), and fixed-grid histograms (quantiles).
 
 Sketches are the 100 TB answer for cardinality/frequency questions: a
 fixed-size mergeable summary (KBs per group) replaces exact distinct's
@@ -207,6 +209,190 @@ def cms_cell_sql(item_expr: str, row: int) -> str:
         " AS BIGINT)"
     )
     return f"({row * CMS_WIDTH} + (({h}) % {CMS_WIDTH}))"
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — membership, the fourth sketch family member
+# ---------------------------------------------------------------------------
+
+# k independent salted-md5 hash functions over m = WORDS × 60 bits. 60 bits
+# per BIGINT word keeps every mask = 1 << b strictly positive on both
+# engines (the md5_60bit convention); the filter is a ≤ WORDS-row
+# (word, bits) table folded with bit_or — fold-order-independent, so any
+# partitioning / batching / replay produces byte-identical words, and two
+# filters over disjoint inputs merge by groupBy-bit_or (streamable /
+# tree-reducible, same argument as the HLL register max-fold).
+BLOOM_K = 4
+BLOOM_WORDS = 512
+BLOOM_BITS_PER_WORD = 60
+BLOOM_BITS = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+
+
+def bloom_positions(item: Column) -> Column:
+    """Array of the K global bit positions for one item: position i hashes
+    ``'bloom<i>:' || item`` with md5_60bit mod m — depth independent hash
+    functions from salted md5, replayable cross-engine (cf. cms_cells)."""
+    return F.array(
+        *[
+            F.pmod(
+                md5_60bit(F.concat(F.lit(f"bloom{i}:"), item)),
+                F.lit(BLOOM_BITS),
+            )
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def _bloom_word_mask(pos_col: str) -> tuple[Column, Column]:
+    word = F.expr(f"CAST({pos_col} DIV {BLOOM_BITS_PER_WORD} AS INT)")
+    mask = F.expr(
+        f"shiftleft(1L, CAST(pmod({pos_col}, {BLOOM_BITS_PER_WORD}) AS INT))"
+    )
+    return word, mask
+
+
+def bloom_build(df: DataFrame, item_col: str) -> DataFrame:
+    """Fold a corpus of items into the constant-size Bloom table
+    (word, bits). ONE partial-agg shuffle; output ≤ WORDS rows no matter
+    the input size — the membership sibling of cms_update."""
+    pos = df.select(
+        F.explode(bloom_positions(F.col(item_col))).alias("_bloom_pos")
+    )
+    word, mask = _bloom_word_mask("_bloom_pos")
+    return (
+        pos.select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, probes: DataFrame, key_cols: list[str], item_col: str
+) -> DataFrame:
+    """Membership-test each probe row: member iff ALL K of its bits are
+    set. The filter table is constant-size, so this is a broadcast join —
+    the probe stream never shuffles on data volume (the gate shape that
+    replaces the broadcast-set decontamination join when the reference
+    set outgrows a broadcast list: the filter stays ≤ WORDS rows at ANY
+    reference-set cardinality, trading a bounded false-positive rate).
+    One-sided: no false negatives, ever."""
+    pos = probes.select(
+        *key_cols, F.explode(bloom_positions(F.col(item_col))).alias("_bloom_pos")
+    )
+    word, mask = _bloom_word_mask("_bloom_pos")
+    cells = pos.select(*key_cols, word.alias("word"), mask.alias("mask"))
+    return (
+        cells.join(F.broadcast(bloom), "word", "left")
+        .fillna(0, subset=["bits"])
+        .groupBy(*key_cols)
+        .agg(
+            F.min(
+                (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")).cast("int")
+            ).cast("boolean").alias("bloom_member")
+        )
+    )
+
+
+def bloom_cell_sql(item_expr: str, i: int) -> dict[str, str]:
+    """DuckDB {word, mask} expressions replaying hash i of bloom_positions
+    exactly."""
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('bloom{i}:', {item_expr})), 1, 15))"
+        " AS BIGINT)"
+    )
+    p = f"(({h}) % {BLOOM_BITS})"
+    return {
+        "word": f"CAST(({p}) // {BLOOM_BITS_PER_WORD} AS INTEGER)",
+        "mask": f"(1::BIGINT << CAST(({p}) % {BLOOM_BITS_PER_WORD} AS INTEGER))",
+    }
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch (Bar-Yossef et al. 2002 / Beyer et al. 2007)
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+# Distinct-count estimator numerator (K-1)·2^60, precomputed in Python and
+# embedded verbatim in both engines (the HLL_EST_NUM convention).
+KMV_EST_NUM = float(KMV_K - 1) * float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
+    """Per-key bottom-K distinct md5_60bit hashes: (key..., h, rk).
+
+    Two map-side-collapsing exchanges: a distinct on (key, h) — partial
+    dedup before the wire — then the per-key row_number window, whose
+    WindowGroupLimit pushdown caps every map partition's contribution at
+    K rows before the exchange. The sketch is ≤ K rows per key REGARDLESS
+    of corpus size, and merges by union + re-rank (bottom-K of a union is
+    the bottom-K of the concatenated sketches) — the mergeability that
+    makes KMV state streamable and tree-reducible."""
+    h = md5_60bit(F.col(item_col))
+    distinct = df.select(*key_cols, h.alias("h")).dropDuplicates([*key_cols, "h"])
+    win = Window.partitionBy(*key_cols).orderBy("h")
+    return (
+        distinct.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= KMV_K)
+    )
+
+
+def kmv_distinct(sketch: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Distinct-count estimate per key from its bottom-K sketch: exact
+    when the sketch is unsaturated (n < K ⇒ every distinct hash is
+    present), else the KMV estimator (K-1)·2^60 / h_(K) — the k-th
+    smallest hash locates the density of distinct values on the hash
+    line. All inputs exact BIGINTs; the one division is IEEE double on
+    identical operands — deterministic cross-engine."""
+    per_key = sketch.groupBy(*key_cols).agg(
+        F.count("*").alias("sketch_size"),
+        F.max("h").alias("h_k"),
+    )
+    est = F.when(
+        F.col("sketch_size") < KMV_K, F.col("sketch_size").cast("double")
+    ).otherwise(F.lit(KMV_EST_NUM) / F.col("h_k").cast("double"))
+    return per_key.select(
+        *key_cols, "sketch_size", F.round(est, 4).alias("kmv_estimate")
+    )
+
+
+def kmv_pair_jaccard(sketch: DataFrame, key_col: str) -> DataFrame:
+    """Pairwise Jaccard estimates between every two keys from their
+    bottom-K sketches: J(A,B) ≈ |bottom-K(A ∪ B) ∩ A ∩ B| / |bottom-K(A ∪ B)|
+    (Beyer et al. 2007's unioned-sketch estimator). Everything here runs
+    on sketch rows only — ≤ K per key — so the pair enumeration, the
+    union re-rank, and the intersection count are constant-size work per
+    key pair no matter the corpus size; only kmv_sketch touches data.
+    The sketch is persisted (it is ≤ K rows per key — trivially
+    memory-bounded) because its lineage is referenced three times (key
+    enumeration + both pair sides); without it each reference would
+    recompute the corpus-scale gram scan (the dedup.py signature-persist
+    convention)."""
+    s = sketch.select(F.col(key_col).alias("_src"), "h").persist()
+    keys = s.select(F.col("_src").alias("s1")).distinct()
+    pairs = keys.crossJoin(
+        keys.select(F.col("s1").alias("s2"))
+    ).filter(F.col("s1") < F.col("s2"))
+    m = s.join(
+        F.broadcast(pairs),
+        (F.col("_src") == F.col("s1")) | (F.col("_src") == F.col("s2")),
+    )
+    g = m.groupBy("s1", "s2", "h").agg(
+        F.max((F.col("_src") == F.col("s1")).cast("int")).alias("in1"),
+        F.max((F.col("_src") == F.col("s2")).cast("int")).alias("in2"),
+    )
+    win = Window.partitionBy("s1", "s2").orderBy("h")
+    ranked = g.withColumn("rk", F.row_number().over(win)).filter(
+        F.col("rk") <= KMV_K
+    )
+    return ranked.groupBy("s1", "s2").agg(
+        F.count("*").alias("union_k"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("kmv_inter"),
+        F.round(
+            F.sum(F.col("in1") * F.col("in2")).cast("double")
+            / F.count("*").cast("double"),
+            4,
+        ).alias("jaccard_est"),
+    )
 
 
 # ---------------------------------------------------------------------------

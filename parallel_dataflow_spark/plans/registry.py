@@ -3976,6 +3976,175 @@ def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.cms_lookup(cms, probes, "word")
 
 
+# Shared word-trigram CTE for the Bloom / KMV entries: same normalization
+# as the decontamination oracle, 3-gram window.
+_TRIGRAM_CTE = """
+    toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      FROM toks WHERE len(ws) >= 3
+    )"""
+
+def _bloom_cells_sql(src: str, extra_cols: str = "") -> str:
+    """UNION ALL of the K (word, mask) hash projections over ``src`` —
+    the oracle replay of operators/sketches.bloom_positions."""
+    return " UNION ALL ".join(
+        f"SELECT {extra_cols}{sk.bloom_cell_sql('gram', i)['word']} AS word, "
+        f"{sk.bloom_cell_sql('gram', i)['mask']} AS mask FROM {src}"
+        for i in range(sk.BLOOM_K)
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH {_TRIGRAM_CTE},
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src19'),
+    bloom AS (
+      SELECT word, bit_or(mask) AS bits
+      FROM ({_bloom_cells_sql('bench')}) GROUP BY word
+    ),
+    probes AS (
+      SELECT DISTINCT source, gram FROM g WHERE source <> 'src19'
+    ),
+    pcells AS (
+      {_bloom_cells_sql('probes', 'source, gram, ')}
+    ),
+    member AS (
+      SELECT p.source, p.gram,
+             min(CASE WHEN (coalesce(b.bits, 0) & p.mask) = p.mask
+                      THEN 1 ELSE 0 END) AS is_member
+      FROM pcells p LEFT JOIN bloom b USING (word)
+      GROUP BY p.source, p.gram
+    ),
+    truth AS (
+      SELECT m.source, m.gram, m.is_member,
+             CASE WHEN e.gram IS NULL THEN 0 ELSE 1 END AS is_true
+      FROM member m LEFT JOIN bench e USING (gram)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(is_member) AS BIGINT) AS bloom_hits,
+           CAST(sum(is_true) AS BIGINT) AS true_hits,
+           CAST(sum(is_member) - sum(is_true) AS BIGINT) AS false_pos
+    FROM truth GROUP BY source"""
+
+
+def _word_trigrams(d: DataFrame) -> DataFrame:
+    """(source, gram) word trigrams with the decontamination entry's exact
+    normalization — the shared item stream for the Bloom/KMV sketches."""
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    grams3 = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ws")) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("ws"), (i + k).cast("int")) for k in range(3)],
+        ),
+    )
+    return (
+        d.select("source", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("source", F.explode(grams3).alias("gram"))
+    )
+
+
+@register_extra("sketch_bloom_contamination", _BLOOM_ORACLE)
+def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated decontamination audit: fold the eval split's
+    (source='src19') distinct word trigrams into a constant-size Bloom
+    filter, membership-test every other source's distinct trigrams, and
+    report per source the bloom hits vs exact truth (so false_pos
+    measures the realized FPR). The scale story vs decontaminate_ngram's
+    broadcast set: the filter stays ≤ BLOOM_WORDS rows at ANY benchmark
+    cardinality — at 10^9 eval n-grams a broadcast list dies but the
+    Bloom gate is unchanged, and one-sidedness (no false negatives) means
+    the gate can pre-filter before an exact verify join touches only
+    bloom-positive survivors. Every word is a bit_or fold of salted-md5
+    masks, so the full filter — and therefore every probe verdict,
+    including the hash-dependent false positives — replays bit-identical
+    in the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    g = _word_trigrams(d)
+    bench = g.filter(F.col("source") == "src19").select("gram").distinct()
+    bloom = sk.bloom_build(bench, "gram")
+    probes = (
+        g.filter(F.col("source") != "src19")
+        .dropDuplicates(["source", "gram"])
+    )
+    tested = sk.bloom_probe(bloom, probes, ["source", "gram"], "gram")
+    truth = tested.join(
+        F.broadcast(bench.withColumn("is_true", F.lit(1))), "gram", "left"
+    ).fillna(0, subset=["is_true"])
+    return truth.groupBy("source").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("bloom_member").cast("int")).cast("long").alias("bloom_hits"),
+        F.sum("is_true").cast("long").alias("true_hits"),
+        (
+            F.sum(F.col("bloom_member").cast("int")) - F.sum("is_true")
+        ).cast("long").alias("false_pos"),
+    )
+
+
+_KMV_ORACLE = f"""
+    WITH {_TRIGRAM_CTE},
+    d AS (
+      SELECT DISTINCT source, {tx.MD5_60_SQL.format(x='gram')} AS h FROM g
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM d
+      ) WHERE rk <= {sk.KMV_K}
+    ),
+    ks AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2
+      FROM ks a JOIN ks b ON a.source < b.source
+    ),
+    m AS (
+      SELECT p.s1, p.s2, s.h, s.source
+      FROM sk s JOIN pairs p ON s.source = p.s1 OR s.source = p.s2
+    ),
+    u AS (
+      SELECT s1, s2, h,
+             max(CASE WHEN source = s1 THEN 1 ELSE 0 END) AS in1,
+             max(CASE WHEN source = s2 THEN 1 ELSE 0 END) AS in2
+      FROM m GROUP BY s1, s2, h
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rk
+      FROM u
+    )
+    SELECT s1, s2,
+           CAST(count(*) AS BIGINT) AS union_k,
+           CAST(sum(in1 * in2) AS BIGINT) AS kmv_inter,
+           round(CAST(sum(in1 * in2) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS jaccard_est
+    FROM r WHERE rk <= {sk.KMV_K} GROUP BY s1, s2"""
+
+
+@register_extra("corpus_overlap_kmv", _KMV_ORACLE)
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap (word-trigram Jaccard) from KMV
+    bottom-k sketches — the cross-corpus contamination/diversity matrix
+    over all C(sources,2) pairs. Only kmv_sketch touches the corpus (a
+    map-side-collapsing distinct + a WindowGroupLimit-capped per-source
+    bottom-K window); the pair enumeration, union re-rank, and
+    intersection counts run on ≤ K rows per source — constant work per
+    pair regardless of corpus size, vs an exact pairwise-distinct join
+    that rescans the corpus per pair. Hashes are md5_60bit BIGINTs and
+    every fold is exact-integer, so the sketches — and the estimates —
+    replay hash-exact in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    g = _word_trigrams(d)
+    sketch = sk.kmv_sketch(g, ["source"], "gram")
+    return sk.kmv_pair_jaccard(sketch, "source")
+
+
 # ---------------------------------------------------------------------------
 # CCNet perplexity bucketing (operators/perplexity.py)
 # ---------------------------------------------------------------------------

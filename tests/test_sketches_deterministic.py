@@ -132,3 +132,119 @@ def test_histogram_quantiles_within_grid_error(spark):
 
     one = sk.histogram_quantiles(df.coalesce(1), ["grp"], "v").collect()[0]
     assert one == out
+
+
+def test_bloom_no_false_negatives(spark):
+    """One-sidedness: EVERY inserted item must probe member=True — the
+    property that lets the Bloom gate pre-filter a decontamination join
+    without losing a single true contamination hit."""
+    items = spark.createDataFrame(
+        [(f"gram {i} x",) for i in range(3_000)], ["gram"]
+    ).repartition(8)
+    bloom = sk.bloom_build(items, "gram")
+    probed = sk.bloom_probe(bloom, items, ["gram"], "gram")
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_bloom_fpr_within_design_bound(spark):
+    """Measured false-positive rate on disjoint probes stays within 3x of
+    the analytic (1 - e^{-kn/m})^k — deterministic here, but the bound is
+    what the design promises at any n."""
+    n = 3_000
+    items = spark.createDataFrame([(f"in-{i}",) for i in range(n)], ["gram"])
+    bloom = sk.bloom_build(items, "gram")
+    probes = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(20_000)], ["gram"]
+    )
+    fp = sk.bloom_probe(bloom, probes, ["gram"], "gram").filter(
+        F.col("bloom_member")
+    ).count()
+    import math
+
+    analytic = (1.0 - math.exp(-sk.BLOOM_K * n / sk.BLOOM_BITS)) ** sk.BLOOM_K
+    assert fp / 20_000 <= 3 * analytic, (fp, analytic)
+
+
+def test_bloom_merge_and_partitioning_invariance(spark):
+    """bit_or folds make the filter (a) mergeable — building over two
+    disjoint halves and bit_or-merging the word tables equals building
+    over the union (the streaming-state / tree-reduce property) — and
+    (b) byte-identical at 1 vs 16 input partitions."""
+    rows = [(f"g{i}",) for i in range(2_000)]
+    whole = sk.bloom_build(spark.createDataFrame(rows, ["gram"]).coalesce(1), "gram")
+    many = sk.bloom_build(spark.createDataFrame(rows, ["gram"]).repartition(16), "gram")
+    assert whole.exceptAll(many).count() == 0
+    assert many.exceptAll(whole).count() == 0
+    merged = (
+        sk.bloom_build(spark.createDataFrame(rows[:1_000], ["gram"]), "gram")
+        .unionAll(sk.bloom_build(spark.createDataFrame(rows[1_000:], ["gram"]), "gram"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_kmv_distinct_exact_when_unsaturated(spark):
+    """n < K: the sketch holds every distinct hash, so the estimate is
+    exactly n (the saturation branch is a plain count)."""
+    df = spark.createDataFrame(
+        [(f"v{i % 100}", "g") for i in range(5_000)], ["item", "grp"]
+    ).repartition(8)
+    row = sk.kmv_distinct(sk.kmv_sketch(df, ["grp"], "item"), ["grp"]).collect()[0]
+    assert row["sketch_size"] == 100
+    assert row["kmv_estimate"] == 100.0
+
+
+def test_kmv_distinct_error_bound_saturated(spark):
+    """50k distinct >> K=256: the (K-1)·2^60/h_K estimator has relative
+    standard error ~1/sqrt(K-2) ≈ 6.3%; assert 4 sigma."""
+    df = _ids(spark, 200_000)  # 4 groups x 50k distinct
+    est = {
+        r["grp"]: r["kmv_estimate"]
+        for r in sk.kmv_distinct(sk.kmv_sketch(df, ["grp"], "item"), ["grp"]).collect()
+    }
+    for grp, e in est.items():
+        assert abs(e - 50_000) <= 4 * 50_000 / (sk.KMV_K - 2) ** 0.5, (grp, e)
+
+
+def test_kmv_sketch_merge_by_union_rerank(spark):
+    """Bottom-K of a union equals bottom-K of the concatenated per-half
+    sketches — KMV's mergeability (what makes the sketch tree-reducible
+    and its streaming state bounded)."""
+    from pyspark.sql import Window
+
+    df = _ids(spark, 20_000)
+    a = df.filter(F.col("item").substr(2, 20).cast("long") % 2 == 0)
+    b = df.filter(F.col("item").substr(2, 20).cast("long") % 2 == 1)
+    win = Window.partitionBy("grp").orderBy("h")
+    merged = (
+        sk.kmv_sketch(a, ["grp"], "item").select("grp", "h")
+        .unionAll(sk.kmv_sketch(b, ["grp"], "item").select("grp", "h"))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= sk.KMV_K)
+    )
+    whole = sk.kmv_sketch(df, ["grp"], "item")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_kmv_pair_jaccard_known_overlap(spark):
+    """Constructed 50% overlap (A = 0..5999, B = 3000..8999 → J = 1/3):
+    the unioned-sketch estimator lands within 4·sqrt(J(1-J)/K) — and the
+    whole pipeline is partition-count-invariant."""
+    rows = [(f"x{i}", "A") for i in range(6_000)] + [
+        (f"x{i}", "B") for i in range(3_000, 9_000)
+    ]
+    df = spark.createDataFrame(rows, ["item", "src"])
+    out16 = sk.kmv_pair_jaccard(
+        sk.kmv_sketch(df.repartition(16), ["src"], "item"), "src"
+    ).collect()
+    out1 = sk.kmv_pair_jaccard(
+        sk.kmv_sketch(df.coalesce(1), ["src"], "item"), "src"
+    ).collect()
+    assert out16 == out1
+    (row,) = out16
+    true_j = 3_000 / 9_000
+    sigma = (true_j * (1 - true_j) / sk.KMV_K) ** 0.5
+    assert abs(row["jaccard_est"] - true_j) <= 4 * sigma, row
