@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
-            "hll", "cms",
+            "hll", "cms", "bloomgate",
         ],
         default="tumbling",
     )
@@ -206,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
             "dsirgate": J.run_dsir_gate_job,
             "hll": J.run_hll_job,
             "cms": J.run_cms_job,
+            "bloomgate": J.run_bloom_gate_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

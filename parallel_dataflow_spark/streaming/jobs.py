@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -1235,3 +1235,171 @@ def hll_rollup(registers: DataFrame, grain_seconds: int = 3600) -> DataFrame:
         .groupBy("window_start", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom contamination gate (18th deployable)
+# ---------------------------------------------------------------------------
+
+def _token_trigrams() -> Column:
+    """array<string> of the row's token trigrams ("t1 t2 t3"), empty when
+    the sequence is shorter than 3 — the token-stream analogue of the
+    batch entries' word trigrams."""
+    return F.when(F.size("tokens") < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("tokens") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("tokens"), (i + k).cast("int")).cast("string")
+                    for k in range(3)
+                ],
+            ),
+        )
+    )
+
+
+def calibrate_bloom_filter(
+    spark: SparkSession, input_dir: str, bench_source: str = "wiki"
+) -> list[int]:
+    """Batch calibration for the streaming Bloom gate: fold the benchmark
+    split's token trigrams into the constant-size Bloom filter
+    (operators/sketches.bloom_build) and return it as a dense
+    BLOOM_WORDS-long list of BIGINT words — small enough to bake into the
+    streaming plan as a literal, no matter how many distinct n-grams the
+    benchmark holds (the property a broadcast n-gram SET does not have)."""
+    from parallel_dataflow_spark.operators.sketches import BLOOM_WORDS, bloom_build
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    bench = read_sequence_table(spark, input_dir).filter(
+        F.col("source") == bench_source
+    )
+    grams = bench.select(F.explode(_token_trigrams()).alias("gram"))
+    words = [0] * BLOOM_WORDS
+    for r in bloom_build(grams, "gram").collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def _bloom_gram_hits(words: list[int]) -> Column:
+    """Per-row count of bloom-positive token trigrams as a pure scan-side
+    JVM fold: the filter is a BLOOM_WORDS-element array LITERAL in the
+    plan (the dsir-gate model-literal trick applied to a membership
+    sketch), masks come from a 60-element literal lookup (F.shiftleft
+    needs a literal shift amount, so the masks are pre-tabulated), and
+    each gram tests K word/mask pairs — zero exchanges, zero Python,
+    no broadcast join."""
+    from parallel_dataflow_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_BITS_PER_WORD,
+        BLOOM_K,
+    )
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    words_lit = F.array(*[F.lit(int(w)) for w in words])
+    masks_lit = F.array(
+        *[F.lit(1 << b) for b in range(BLOOM_BITS_PER_WORD)]
+    )
+
+    def member(g: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(BLOOM_K):
+            pos = F.pmod(
+                md5_60bit(F.concat(F.lit(f"bloom{i}:"), g)), F.lit(BLOOM_BITS)
+            )
+            word = F.floor(pos / F.lit(BLOOM_BITS_PER_WORD)).cast("int")
+            mask = F.element_at(
+                masks_lit, F.pmod(pos, F.lit(BLOOM_BITS_PER_WORD)).cast("int") + 1
+            )
+            cond = cond & (
+                F.element_at(words_lit, word + 1).bitwiseAND(mask) == mask
+            )
+        return cond
+
+    return F.aggregate(
+        F.transform(
+            _token_trigrams(), lambda g: F.when(member(g), 1).otherwise(0).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _bloom_admission(df: DataFrame, words: list[int], window: str) -> DataFrame:
+    hits = _bloom_gram_hits(words)
+    return (
+        df.withColumn("grams_hit", hits)
+        .groupBy(F.window("event_ts", window).alias("w"), "source")
+        .agg(
+            F.sum(F.when(F.col("grams_hit") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_flagged"),
+            F.sum(F.when(F.col("grams_hit") > 0, 0).otherwise(1))
+            .cast("long")
+            .alias("docs_clean"),
+            F.sum("grams_hit").cast("long").alias("grams_hit"),
+        )
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "docs_flagged",
+            "docs_clean",
+            "grams_hit",
+        )
+    )
+
+
+def run_bloom_gate_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    bench_source: str = "wiki",
+    bloom_words: list[int] | None = None,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming Bloom contamination gate — the 18th deployable and the
+    online face of the batch ``sketch_bloom_contamination`` entry: every
+    arriving sequence's token trigrams are membership-tested against a
+    benchmark Bloom filter at the scan, and per-(source, window)
+    contamination stats flow to an exactly-once sink keyed
+    (source, window_start).
+
+    Scale shape: the filter is a constant BLOOM_WORDS-integer literal in
+    the plan REGARDLESS of benchmark cardinality — at 10^9 eval n-grams
+    the broadcast-set decontamination join dies but this gate is
+    unchanged; flagging is a pure scan-side JVM fold (zero exchanges,
+    zero Python), and the only stateful stage is the windowed stats agg.
+    One-sidedness means no contaminated sequence is EVER missed; bloom
+    false positives only route a bounded extra fraction to whatever
+    exact-verify stage sits downstream. The whole verdict is
+    deterministic (salted-md5 bits, exact integer folds), so stream ==
+    batch row for row under any partitioning, batching, or replay."""
+    if bloom_words is None:
+        bloom_words = calibrate_bloom_filter(spark, input_dir, bench_source)
+    sink = make_sink(spark, work_dir, ["source", "window_start"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    agg = _bloom_admission(
+        stream.withWatermark("event_ts", watermark), bloom_words, window
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_bloom_gate_golden(
+    spark: SparkSession,
+    input_dir: str,
+    bloom_words: list[int],
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Batch twin of run_bloom_gate_job's contamination table."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    return _bloom_admission(read_sequence_table(spark, input_dir), bloom_words, window)

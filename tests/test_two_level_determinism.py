@@ -55,6 +55,12 @@ QUERIES = [
                                    # tercile boundaries vs parallelism
     "chunk_fixed_blocks",          # prefix-sum offsets + bounded explode:
                                    # block layout vs partitioning
+    "sketch_bloom_contamination",  # bit_or word folds: the filter — and
+                                   # therefore every hash-dependent false
+                                   # positive — must be byte-identical at
+                                   # any parallelism
+    "corpus_overlap_kmv",          # bottom-K sketches + union re-rank:
+                                   # pair estimates vs partitioning
 ]
 
 _PROBE = r"""
