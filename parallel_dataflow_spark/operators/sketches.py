@@ -293,6 +293,67 @@ def bloom_probe(
     )
 
 
+def bloom_collect(bloom: DataFrame) -> list[int]:
+    """Materialize the ≤ WORDS-row filter table as a dense BLOOM_WORDS
+    list — bounded by construction, so this is the one collect() a Bloom
+    plan is allowed: it turns the filter into a plan LITERAL."""
+    words = [0] * BLOOM_WORDS
+    for r in bloom.collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_member_expr(words: list[int]):
+    """Scan-side membership test against a collected filter: returns a
+    function Column -> Column usable anywhere an expression is (plain
+    filters, higher-order-function lambdas in streaming plans). The
+    filter is a BLOOM_WORDS-element array LITERAL and the bit masks a
+    60-element literal lookup (F.shiftleft needs a literal shift amount,
+    so masks are pre-tabulated) — zero exchanges, zero Python, no
+    broadcast join in the test itself."""
+    words_lit = F.array(*[F.lit(int(w)) for w in words])
+    masks_lit = F.array(*[F.lit(1 << b) for b in range(BLOOM_BITS_PER_WORD)])
+
+    def member(item: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(BLOOM_K):
+            pos = F.pmod(
+                md5_60bit(F.concat(F.lit(f"bloom{i}:"), item)), F.lit(BLOOM_BITS)
+            )
+            word = F.floor(pos / F.lit(BLOOM_BITS_PER_WORD)).cast("int")
+            mask = F.element_at(
+                masks_lit, F.pmod(pos, F.lit(BLOOM_BITS_PER_WORD)).cast("int") + 1
+            )
+            cond = cond & (
+                F.element_at(words_lit, word + 1).bitwiseAND(mask) == mask
+            )
+        return cond
+
+    return member
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, key: str) -> DataFrame:
+    """EXACT semi-join with Bloom pre-pruning: fold the small side's keys
+    into the filter, drop big-side rows at the SCAN (before any
+    exchange), then exact-verify the bloom-positive survivors with the
+    real semi-join. One-sidedness makes the result exactly equal to a
+    plain semi-join — no key is ever falsely dropped; false positives
+    only bound the wasted shuffle volume (~FPR × non-matching rows).
+
+    At 100 TB this is the difference between shuffling the full fact
+    table and shuffling matches + FPR·misses when the dim side is too
+    big to broadcast but its KEY SET still fits a constant-size filter.
+    Spark's AQE runtime bloom filter plays this trick automatically for
+    some plans; this variant is explicit, deterministic (salted md5),
+    and — because the exact join has the last word — oracle-checkable
+    against a plain EXISTS."""
+    keys = small.select(F.col(key).cast("string").alias("_k"))
+    words = bloom_collect(bloom_build(keys, "_k"))
+    member = bloom_member_expr(words)
+    pruned = big.filter(member(F.col(key).cast("string")))
+    return pruned.join(small.select(key).dropDuplicates([key]), key, "semi")
+
+
 def bloom_cell_sql(item_expr: str, i: int) -> dict[str, str]:
     """DuckDB {word, mask} expressions replaying hash i of bloom_positions
     exactly."""

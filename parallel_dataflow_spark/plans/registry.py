@@ -4088,6 +4088,34 @@ def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_SEMI_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )"""
+
+
+@register_extra("bloom_semi_join_orders", _BLOOM_SEMI_ORACLE)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact semi-join: orders of customers with acctbal >
+    9000, where the fact-side scan is pre-filtered by a literal-baked
+    Bloom filter of the dim keys BEFORE the exact semi-join verifies the
+    survivors. One-sidedness (no false negatives) makes the result
+    exactly a plain IN-subquery — the oracle is the vanilla EXISTS shape
+    — while at 100 TB the pruning bounds the shuffled fact volume to
+    matches + FPR*misses when the dim key SET fits a constant-size
+    filter but the dim rows don't fit a broadcast. Explicit,
+    deterministic (salted md5) twin of AQE's runtime bloom-filter join
+    (cf. reference semi-join usage impls/src/bin/test.rs harness joins)."""
+    orders = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    small = rich.select(F.col("c_custkey").alias("o_custkey"))
+    return sk.bloom_semi_join(orders, small, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 _KMV_ORACLE = f"""
     WITH {_TRIGRAM_CTE},
     d AS (

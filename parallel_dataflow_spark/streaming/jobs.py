@@ -1220,6 +1220,20 @@ def batch_cms_golden(
     return _cms_window_cells(read_sequence_table(spark, input_dir), window, None)
 
 
+def cms_rollup(cells: DataFrame, grain_seconds: int = 3600) -> DataFrame:
+    """Coarsen a (window_start, cell, cnt) Count-Min cell table to a
+    larger window grain by groupBy-SUM — the additive twin of
+    hll_rollup's max-merge: CMS is linear, so an hourly (or daily)
+    frequency sketch is one cell-bounded aggregation over the sink
+    table, with no reprocessing of the stream."""
+    coarse = (F.col("window_start") / grain_seconds).cast("long") * grain_seconds
+    return (
+        cells.select(coarse.alias("window_start"), "cell", "cnt")
+        .groupBy("window_start", "cell")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 def hll_rollup(registers: DataFrame, grain_seconds: int = 3600) -> DataFrame:
     """Coarsen a (window_start, bucket, rho) register table to a larger
     window grain by groupBy-max — the mergeable-sketch payoff: an hourly
@@ -1268,17 +1282,14 @@ def calibrate_bloom_filter(
     BLOOM_WORDS-long list of BIGINT words — small enough to bake into the
     streaming plan as a literal, no matter how many distinct n-grams the
     benchmark holds (the property a broadcast n-gram SET does not have)."""
-    from parallel_dataflow_spark.operators.sketches import BLOOM_WORDS, bloom_build
+    from parallel_dataflow_spark.operators.sketches import bloom_build, bloom_collect
     from parallel_dataflow_spark.sources.sequences import read_sequence_table
 
     bench = read_sequence_table(spark, input_dir).filter(
         F.col("source") == bench_source
     )
     grams = bench.select(F.explode(_token_trigrams()).alias("gram"))
-    words = [0] * BLOOM_WORDS
-    for r in bloom_build(grams, "gram").collect():
-        words[int(r["word"])] = int(r["bits"])
-    return words
+    return bloom_collect(bloom_build(grams, "gram"))
 
 
 def _bloom_gram_hits(words: list[int]) -> Column:
@@ -1289,33 +1300,9 @@ def _bloom_gram_hits(words: list[int]) -> Column:
     needs a literal shift amount, so the masks are pre-tabulated), and
     each gram tests K word/mask pairs — zero exchanges, zero Python,
     no broadcast join."""
-    from parallel_dataflow_spark.operators.sketches import (
-        BLOOM_BITS,
-        BLOOM_BITS_PER_WORD,
-        BLOOM_K,
-    )
-    from parallel_dataflow_spark.functions.text import md5_60bit
+    from parallel_dataflow_spark.operators.sketches import bloom_member_expr
 
-    words_lit = F.array(*[F.lit(int(w)) for w in words])
-    masks_lit = F.array(
-        *[F.lit(1 << b) for b in range(BLOOM_BITS_PER_WORD)]
-    )
-
-    def member(g: Column) -> Column:
-        cond = F.lit(True)
-        for i in range(BLOOM_K):
-            pos = F.pmod(
-                md5_60bit(F.concat(F.lit(f"bloom{i}:"), g)), F.lit(BLOOM_BITS)
-            )
-            word = F.floor(pos / F.lit(BLOOM_BITS_PER_WORD)).cast("int")
-            mask = F.element_at(
-                masks_lit, F.pmod(pos, F.lit(BLOOM_BITS_PER_WORD)).cast("int") + 1
-            )
-            cond = cond & (
-                F.element_at(words_lit, word + 1).bitwiseAND(mask) == mask
-            )
-        return cond
-
+    member = bloom_member_expr(words)
     return F.aggregate(
         F.transform(
             _token_trigrams(), lambda g: F.when(member(g), 1).otherwise(0).cast("long")

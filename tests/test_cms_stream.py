@@ -134,3 +134,20 @@ def test_cms_stream_rocksdb_state_store(spark, tmp_path):
         else:
             spark.conf.unset(key)
     assert got == canon(batch_cms_golden(spark, src))
+
+
+def test_cms_rollup_matches_direct_coarse_sketch(spark, tmp_path):
+    """Rolling 10-minute sink cells up to 1 hour by groupBy-SUM gives
+    EXACTLY the cell table a direct 1-hour-window sketch of the stream
+    would produce — CMS linearity across window grains (the additive
+    twin of the HLL max-merge rollup law)."""
+    from parallel_dataflow_spark.streaming.jobs import cms_rollup
+
+    src = _source(spark, tmp_path, n_rows=1200, seed=59)
+    q, sink = run_cms_job(spark, src, str(tmp_path / "work"))
+    q.processAllAvailable()
+    q.stop()
+    rolled = canon(cms_rollup(sink.read(spark), 3600))
+    direct = canon(batch_cms_golden(spark, src, window="60 minutes"))
+    assert len(rolled) > 0
+    assert rolled == direct

@@ -248,3 +248,31 @@ def test_kmv_pair_jaccard_known_overlap(spark):
     true_j = 3_000 / 9_000
     sigma = (true_j * (1 - true_j) / sk.KMV_K) ** 0.5
     assert abs(row["jaccard_est"] - true_j) <= 4 * sigma, row
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    """bloom_semi_join == plain semi-join (one-sidedness: no key is ever
+    falsely dropped), and the literal-baked membership filter prunes the
+    fact side BEFORE the join: with 10k fact keys and a 100-key dim, the
+    bloom-positive survivor count must sit near matches + FPR*misses,
+    i.e. well under the fact row count."""
+    fact = spark.range(10_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 2_000).cast("string")).alias("key"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    got = sk.bloom_semi_join(fact, dim, "key")
+    want = fact.join(dim, "key", "semi")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    words = sk.bloom_collect(sk.bloom_build(dim.select(F.col("key").alias("_k")), "_k"))
+    member = sk.bloom_member_expr(words)
+    survivors = fact.filter(member(F.col("key"))).count()
+    # 500 true-positive rows (100 of 2000 key values x 5 rows each);
+    # allow generous FPR slack on the 9500 misses before calling the
+    # pruning broken.
+    assert survivors >= 500
+    assert survivors <= 500 + 0.05 * 9_500, survivors
