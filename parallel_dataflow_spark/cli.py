@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
-            "hll", "cms", "bloomgate",
+            "hll", "cms", "bloomgate", "kmv",
         ],
         default="tumbling",
     )
@@ -207,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
             "hll": J.run_hll_job,
             "cms": J.run_cms_job,
             "bloomgate": J.run_bloom_gate_job,
+            "kmv": J.run_kmv_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

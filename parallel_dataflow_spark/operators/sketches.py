@@ -416,7 +416,9 @@ def kmv_distinct(sketch: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-def kmv_pair_jaccard(sketch: DataFrame, key_col: str) -> DataFrame:
+def kmv_pair_jaccard(
+    sketch: DataFrame, key_col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Pairwise Jaccard estimates between every two keys from their
     bottom-K sketches: J(A,B) ≈ |bottom-K(A ∪ B) ∩ A ∩ B| / |bottom-K(A ∪ B)|
     (Beyer et al. 2007's unioned-sketch estimator). Everything here runs
@@ -427,25 +429,42 @@ def kmv_pair_jaccard(sketch: DataFrame, key_col: str) -> DataFrame:
     memory-bounded) because its lineage is referenced three times (key
     enumeration + both pair sides); without it each reference would
     recompute the corpus-scale gram scan (the dedup.py signature-persist
-    convention)."""
-    s = sketch.select(F.col(key_col).alias("_src"), "h").persist()
-    keys = s.select(F.col("_src").alias("s1")).distinct()
-    pairs = keys.crossJoin(
-        keys.select(F.col("s1").alias("s2"))
-    ).filter(F.col("s1") < F.col("s2"))
-    m = s.join(
-        F.broadcast(pairs),
-        (F.col("_src") == F.col("s1")) | (F.col("_src") == F.col("s2")),
+    convention). With ``group_cols`` the pair enumeration and estimator
+    run independently within each group (e.g. per event-time window for
+    the streaming KMV sink)."""
+    g = list(group_cols)
+    s = sketch.select(*g, F.col(key_col).alias("_src"), "h").persist()
+    keys = s.select(*g, F.col("_src").alias("s1")).distinct()
+    if g:
+        pairs = keys.join(
+            keys.select(*g, F.col("s1").alias("s2")), g
+        ).filter(F.col("s1") < F.col("s2"))
+    else:
+        pairs = keys.crossJoin(
+            keys.select(F.col("s1").alias("s2"))
+        ).filter(F.col("s1") < F.col("s2"))
+    sp, pp = s.alias("sk"), F.broadcast(pairs).alias("pr")
+    cond = (F.col("sk._src") == F.col("pr.s1")) | (
+        F.col("sk._src") == F.col("pr.s2")
     )
-    g = m.groupBy("s1", "s2", "h").agg(
+    for c in g:
+        cond = cond & (F.col(f"sk.{c}") == F.col(f"pr.{c}"))
+    m = sp.join(pp, cond).select(
+        *[F.col(f"pr.{c}").alias(c) for c in g],
+        F.col("pr.s1").alias("s1"),
+        F.col("pr.s2").alias("s2"),
+        F.col("sk._src").alias("_src"),
+        F.col("sk.h").alias("h"),
+    )
+    grp = m.groupBy(*g, "s1", "s2", "h").agg(
         F.max((F.col("_src") == F.col("s1")).cast("int")).alias("in1"),
         F.max((F.col("_src") == F.col("s2")).cast("int")).alias("in2"),
     )
-    win = Window.partitionBy("s1", "s2").orderBy("h")
-    ranked = g.withColumn("rk", F.row_number().over(win)).filter(
+    win = Window.partitionBy(*g, "s1", "s2").orderBy("h")
+    ranked = grp.withColumn("rk", F.row_number().over(win)).filter(
         F.col("rk") <= KMV_K
     )
-    return ranked.groupBy("s1", "s2").agg(
+    return ranked.groupBy(*g, "s1", "s2").agg(
         F.count("*").alias("union_k"),
         F.sum(F.col("in1") * F.col("in2")).cast("long").alias("kmv_inter"),
         F.round(

@@ -1390,3 +1390,54 @@ def batch_bloom_gate_golden(
     from parallel_dataflow_spark.sources.sequences import read_sequence_table
 
     return _bloom_admission(read_sequence_table(spark, input_dir), bloom_words, window)
+
+
+def run_kmv_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    window_sec: int = 600,
+    ttl_sec: int = 600,
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    api: str = "auto",
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming KMV bottom-k vocabulary sketch — the 19th deployable and
+    the online face of the batch ``corpus_overlap_kmv`` entry: every
+    (source, event-time window) keeps the K smallest distinct token
+    hashes as keyed state (streaming/kmvstream.KmvProcessor, apws
+    fallback), and the running sketch rows flow to an exactly-once sink
+    keyed (source, window_start). Per-window source cardinalities and
+    ALL pairwise source vocabulary overlaps are then constant-time reads
+    of the sink (kmv_window_report) — the stream never re-runs.
+
+    Scale shape: token arrays die in the JVM prestage; per-key state is
+    ONE ≤ KMV_K int64 array regardless of window vocabulary (the
+    HLL-register argument applied to an order-statistics sketch); dead
+    windows purge on an event-time timer. The bottom-k fold is
+    order-invariant, so running emissions through the latest-wins keyed
+    sink converge to the exact batch twin under any batching or replay —
+    no buffered-release machinery needed."""
+    from parallel_dataflow_spark.streaming.kmvstream import kmv_stream
+
+    sink = make_sink(spark, work_dir, ["source", "window_start"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    out = kmv_stream(stream, window_sec, ttl_sec, watermark, api=api)
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_kmv_golden(
+    spark: SparkSession, input_dir: str, window_sec: int = 600
+) -> DataFrame:
+    """Batch twin of run_kmv_job's sketch table."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+    from parallel_dataflow_spark.streaming.kmvstream import kmv_window_batch
+
+    return kmv_window_batch(read_sequence_table(spark, input_dir), window_sec)

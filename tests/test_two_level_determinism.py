@@ -61,6 +61,9 @@ QUERIES = [
                                    # any parallelism
     "corpus_overlap_kmv",          # bottom-K sketches + union re-rank:
                                    # pair estimates vs partitioning
+    "bloom_semi_join_orders",      # literal-baked bloom scan filter +
+                                   # exact semi-join: pruning must never
+                                   # change the result at any level
 ]
 
 _PROBE = r"""
