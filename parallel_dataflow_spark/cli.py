@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
-            "hll", "cms", "bloomgate", "kmv",
+            "hll", "cms", "bloomgate", "kmv", "hhtrack",
         ],
         default="tumbling",
     )
@@ -208,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
             "cms": J.run_cms_job,
             "bloomgate": J.run_bloom_gate_job,
             "kmv": J.run_kmv_job,
+            "hhtrack": J.run_hh_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -4173,6 +4173,85 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.kmv_pair_jaccard(sketch, "source")
 
 
+_KMV_WINDOWED_ORACLE = f"""
+    WITH d AS (
+      SELECT DISTINCT
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+             event_type,
+             {tx.MD5_60_SQL.format(x='CAST(user_id AS VARCHAR)')} AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT window_start, event_type, h FROM (
+        SELECT window_start, event_type, h,
+               row_number() OVER (
+                 PARTITION BY window_start, event_type ORDER BY h) AS rk
+        FROM d
+      ) WHERE rk <= {sk.KMV_K}
+    ),
+    ks AS (SELECT DISTINCT window_start, event_type FROM sk),
+    pairs AS (
+      SELECT a.window_start, a.event_type AS s1, b.event_type AS s2
+      FROM ks a JOIN ks b
+        ON a.window_start = b.window_start AND a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT p.window_start, p.s1, p.s2, s.h, s.event_type
+      FROM sk s JOIN pairs p
+        ON s.window_start = p.window_start
+       AND (s.event_type = p.s1 OR s.event_type = p.s2)
+    ),
+    u AS (
+      SELECT window_start, s1, s2, h,
+             max(CASE WHEN event_type = s1 THEN 1 ELSE 0 END) AS in1,
+             max(CASE WHEN event_type = s2 THEN 1 ELSE 0 END) AS in2
+      FROM m GROUP BY window_start, s1, s2, h
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start, s1, s2 ORDER BY h) AS rk
+      FROM u
+    )
+    SELECT window_start, s1, s2,
+           CAST(count(*) AS BIGINT) AS union_k,
+           CAST(sum(in1 * in2) AS BIGINT) AS kmv_inter,
+           round(CAST(sum(in1 * in2) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS jaccard_est
+    FROM r WHERE rk <= {sk.KMV_K} GROUP BY window_start, s1, s2"""
+
+
+@register_extra("event_user_overlap_kmv", _KMV_WINDOWED_ORACLE)
+def event_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour pairwise event-type AUDIENCE overlap (shared-user Jaccard)
+    from grouped KMV bottom-k sketches — the windowed face of
+    ``corpus_overlap_kmv`` and the batch oracle twin of the streaming KMV
+    sink report (streaming/kmvstream.kmv_window_report uses the same
+    grouped estimator). One corpus pass builds ≤ K-row sketches per
+    (window, event_type); all C(types,2) overlaps per window are then
+    constant-size work, vs an exact pairwise-distinct join that rescans
+    events per pair and per window. Exact-integer folds end to end, so
+    sketches and estimates replay hash-exact in DuckDB."""
+    e = _t(spark, sf_dir, "events")
+    rows = e.select(
+        (
+            F.floor(F.col("ts").cast("timestamp_ltz").cast("long") / 3600) * 3600
+        ).alias("window_start"),
+        "event_type",
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    sketch = sk.kmv_sketch(rows, ["window_start", "event_type"], "uid")
+    return sk.kmv_pair_jaccard(
+        sketch, "event_type", group_cols=("window_start",)
+    ).select(
+        "window_start",
+        "s1",
+        "s2",
+        "union_k",
+        "kmv_inter",
+        "jaccard_est",
+    )
+
+
 # ---------------------------------------------------------------------------
 # CCNet perplexity bucketing (operators/perplexity.py)
 # ---------------------------------------------------------------------------

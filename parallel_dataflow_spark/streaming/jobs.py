@@ -1441,3 +1441,153 @@ def batch_kmv_golden(
     from parallel_dataflow_spark.streaming.kmvstream import kmv_window_batch
 
     return kmv_window_batch(read_sequence_table(spark, input_dir), window_sec)
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy-hitter tracker: calibrated candidates, exact online shares
+# ---------------------------------------------------------------------------
+
+def _token_bigrams():
+    """JVM-side "a_b" string bigrams of the int token array (empty when
+    the sequence is shorter than 2)."""
+    n = F.size("tokens")
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("tokens", F.lit(1), n - 1),
+            F.slice("tokens", F.lit(2), n - 1),
+            lambda a, b: F.concat_ws("_", a.cast("string"), b.cast("string")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def calibrate_hh_candidates(
+    spark: SparkSession, input_dir: str, theta: float = 0.002
+) -> list[str]:
+    """Batch Misra-Gries + exact recount over the calibration corpus
+    (operators/heavy_hitters.py): the token bigrams with share >= theta.
+    The returned list is bounded by 1/theta regardless of corpus size —
+    small enough to bake into the streaming plan as an InSet literal.
+
+    The division of labor this encodes: DISCOVERY of heavy keys needs
+    the MG no-false-negative pass and stays batch (its summary content
+    is arrival-order-dependent, which the repo's deterministic-stream
+    discipline forbids as state); TRACKING the discovered keys online is
+    exact, deterministic, and bounded — the calibrate-offline /
+    enforce-online split of run_mix_job applied to frequency."""
+    from parallel_dataflow_spark.operators.heavy_hitters import heavy_hitters_exact
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    items = read_sequence_table(spark, input_dir).select(
+        _token_bigrams().alias("bg")
+    )
+    hh = heavy_hitters_exact(items, "bg", theta=theta, key_alias="key")
+    return sorted(r["key"] for r in hh.select("key").collect())
+
+
+def _hh_admission(
+    df: DataFrame, candidates: list[str], window: str, watermark: str | None
+) -> DataFrame:
+    """Shared stream/batch plan: per-(window, candidate-bigram) exact
+    counts plus a '*' row carrying the window's total bigram count (the
+    share denominator). The candidate test is an InSet literal evaluated
+    right after the map-side explode — the tail dies before the
+    exchange, which carries candidate instances + ONE total row per
+    sequence."""
+    cand = df.select(
+        "event_ts",
+        F.explode(_token_bigrams()).alias("key"),
+        F.lit(1).cast("long").alias("w"),
+    ).filter(F.col("key").isin(candidates))
+    total = df.select(
+        "event_ts",
+        F.lit("*").alias("key"),
+        F.greatest(F.size("tokens") - 1, F.lit(0)).cast("long").alias("w"),
+    )
+    u = cand.unionByName(total)
+    if watermark is not None:
+        u = u.withWatermark("event_ts", watermark)
+    return (
+        u.groupBy(F.window("event_ts", window).alias("wd"), "key")
+        .agg(F.sum("w").cast("long").alias("cnt"))
+        .select(
+            F.col("wd.start").cast("timestamp_ltz").cast("long").alias("window_start"),
+            "key",
+            "cnt",
+        )
+    )
+
+
+def run_hh_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    theta: float = 0.002,
+    candidates: list[str] | None = None,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming heavy-hitter tracker — the 20th deployable and the
+    online face of the graded ``heavy_hitter_bigrams_mg`` entry: token
+    bigrams discovered heavy by the batch MG pass are counted EXACTLY
+    per event-time window (plus the window's total as a '*' row), so
+    per-window shares and threshold alerts are constant-time reads of
+    the sink keyed (window_start, key).
+
+    Scale shape: the candidate set is ≤ 1/theta keys regardless of
+    corpus size — an InSet literal at the scan; the long tail dies
+    map-side at the explode, and the stateful exchange carries candidate
+    instances + one row per sequence. Counts are associative BIGINT sums
+    → running update-mode emissions converge through the latest-wins
+    sink under any batching or replay (the run_cms_job argument).
+    Honest scope note: keys that FIRST become heavy after calibration
+    are not tracked until recalibration — online discovery would need
+    order-dependent MG state, which the deterministic-stream discipline
+    rules out; discovery is the batch pass's job."""
+    if candidates is None:
+        candidates = calibrate_hh_candidates(spark, input_dir, theta)
+    sink = make_sink(spark, work_dir, ["window_start", "key"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    agg = _hh_admission(stream, candidates, window, watermark)
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_hh_golden(
+    spark: SparkSession,
+    input_dir: str,
+    candidates: list[str],
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Batch twin of run_hh_job's count table."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    return _hh_admission(
+        read_sequence_table(spark, input_dir), candidates, window, None
+    )
+
+
+def hh_report(rows: DataFrame, theta: float = 0.0) -> DataFrame:
+    """Per-window exact shares for the tracked keys from the sink table
+    alone: share = cnt / the window's '*' total; keep shares >= theta."""
+    tot = rows.filter(F.col("key") == "*").select(
+        "window_start", F.col("cnt").alias("total")
+    )
+    return (
+        rows.filter(F.col("key") != "*")
+        .join(F.broadcast(tot), "window_start")
+        .filter(F.col("cnt") >= F.lit(theta) * F.col("total"))
+        .select(
+            "window_start",
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        )
+    )
