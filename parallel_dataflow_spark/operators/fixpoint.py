@@ -475,20 +475,22 @@ def _fargs_of(cell) -> tuple:
 
 
 def _blocks_pdf_to_rows(pdf: pd.DataFrame) -> list[dict]:
-    blocks = []
-    for _, r in pdf.iterrows():
-        instrs = [
-            _norm_instr(i) for i in (r["instrs"] if r["instrs"] is not None else [])
-        ]
-        blocks.append(
-            {
-                "block_id": int(r["block_id"]),
-                "is_entry": bool(r["is_entry"]),
-                "is_exit": bool(r["is_exit"]),
-                "instrs": instrs,
-            }
+    # column-wise zip, not iterrows (per-function frames are small, but
+    # the repo convention is no row-at-a-time pandas anywhere)
+    return [
+        {
+            "block_id": int(bid),
+            "is_entry": bool(ent),
+            "is_exit": bool(ext),
+            "instrs": [_norm_instr(i) for i in (instrs if instrs is not None else [])],
+        }
+        for bid, ent, ext, instrs in zip(
+            pdf["block_id"].to_numpy(),
+            pdf["is_entry"].to_numpy(),
+            pdf["is_exit"].to_numpy(),
+            pdf["instrs"].tolist(),
         )
-    return blocks
+    ]
 
 
 def run_across_functions(

@@ -216,3 +216,27 @@ def kmv_window_report(sink_rows: DataFrame) -> DataFrame:
         "window_start", "source", F.explode("hs").alias("h")
     )
     return kmv_pair_jaccard(rows, "source", group_cols=("window_start",))
+
+
+def kmv_rollup(sink_rows: DataFrame, grain_seconds: int = 3600) -> DataFrame:
+    """Coarsen (source, window_start, hs) sketches to a larger grain by
+    union + re-rank — the order-statistics rollup law beside hll_rollup's
+    max-merge and cms_rollup's sum: any element among the K smallest of a
+    coarse window is among the K smallest of its own fine window, so
+    re-ranking the exploded fine sketches is EXACTLY the sketch a direct
+    coarse-window pass would build. Input is sketch-bounded (≤ K rows per
+    fine key), never the stream."""
+    from pyspark.sql import Window
+
+    coarse = (F.col("window_start") / grain_seconds).cast("long") * grain_seconds
+    rows = sink_rows.select(
+        "source", coarse.alias("window_start"), F.explode("hs").alias("h")
+    ).dropDuplicates(["source", "window_start", "h"])
+    win = Window.partitionBy("source", "window_start").orderBy("h")
+    ranked = rows.withColumn("rk", F.row_number().over(win)).filter(
+        F.col("rk") <= KMV_K
+    )
+    return ranked.groupBy("source", "window_start").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").cast("long").alias("sketch_size"),
+    )

@@ -161,3 +161,21 @@ def test_kmv_batch_twin_partitioning_invariant(spark, tmp_path):
     assert canon(kmv_window_batch(df.repartition(16))) == canon(
         kmv_window_batch(df.coalesce(1))
     )
+
+
+def test_kmv_rollup_matches_direct_coarse_sketch(spark, tmp_path):
+    """Union + re-rank of 10-minute sink sketches to 1 hour == a direct
+    1-hour bottom-K of the stream, byte for byte — the order-statistics
+    rollup law beside CMS-sum and HLL-max."""
+    from parallel_dataflow_spark.streaming.kmvstream import kmv_rollup
+
+    src = _source(spark, tmp_path, n_rows=1200, seed=101)
+    q, sink = run_kmv_job(spark, src, str(tmp_path / "work"))
+    q.processAllAvailable()
+    q.stop()
+    rolled = canon(kmv_rollup(sink.read(spark), 3600))
+    direct = canon(
+        kmv_window_batch(read_sequence_table(spark, src), 3600)
+    )
+    assert len(rolled) > 0
+    assert rolled == direct
