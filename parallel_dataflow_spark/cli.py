@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
-            "hll", "cms", "bloomgate", "kmv", "hhtrack",
+            "hll", "cms", "bloomgate", "kmv", "hhtrack", "histq",
         ],
         default="tumbling",
     )
@@ -209,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
             "bloomgate": J.run_bloom_gate_job,
             "kmv": J.run_kmv_job,
             "hhtrack": J.run_hh_job,
+            "histq": J.run_histq_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -1591,3 +1591,174 @@ def hh_report(rows: DataFrame, theta: float = 0.0) -> DataFrame:
             F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming histogram-quantile job: calibrated fixed grid, per-window cells
+# ---------------------------------------------------------------------------
+
+def calibrate_hist_grid(spark: SparkSession, input_dir: str) -> tuple[int, int]:
+    """Exact (vmin, vmax) of n_tok over the calibration corpus — two
+    integers baked into the streaming plan as literals.
+
+    A data-dependent grid (the batch histogram_quantiles' first pass)
+    cannot be streaming state: it would make every bucket id depend on
+    rows not yet seen, i.e. a second stateful stage feeding the first.
+    The calibrate-offline / enforce-online split (run_mix_job,
+    run_bloom_gate_job, run_hh_job) applies verbatim: the GRID is fixed
+    ahead of time from a calibration sample; the per-window cell counts
+    are exact and online."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    row = (
+        read_sequence_table(spark, input_dir)
+        .agg(F.min("n_tok").alias("lo"), F.max("n_tok").alias("hi"))
+        .collect()[0]
+    )
+    return int(row["lo"]), int(row["hi"])
+
+
+def _histq_window_cells(
+    df: DataFrame, vmin: int, vmax: int, window: str, watermark: str | None
+) -> DataFrame:
+    """Per-(window, bucket) exact counts of n_tok on the calibrated fixed
+    grid. Bucket ids are a scan-side literal expression (no state, no
+    Python); the only stateful stage is the (window, bucket) count whose
+    state is <= HIST_BUCKETS rows per window regardless of row volume.
+    Post-calibration drift outside [vmin, vmax] clamps into the edge
+    buckets — counts stay exact, the edge-bucket quantile estimates
+    degrade to the grid edge instead of failing (see histq_report)."""
+    from parallel_dataflow_spark.operators.sketches import HIST_BUCKETS
+
+    if vmax == vmin:
+        bucket = F.lit(0)
+    else:
+        w = float(vmax - vmin) / float(HIST_BUCKETS)
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(HIST_BUCKETS - 1),
+                F.floor((F.col("n_tok") - F.lit(vmin)) / F.lit(w)).cast("int"),
+            ),
+        )
+    pre = df.select("event_ts", bucket.alias("b"))
+    if watermark is not None:
+        pre = pre.withWatermark("event_ts", watermark)
+    return (
+        pre.groupBy(F.window("event_ts", window).alias("wd"), "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.col("wd.start").cast("timestamp_ltz").cast("long").alias("window_start"),
+            "b",
+            "cnt",
+        )
+    )
+
+
+def run_histq_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    grid: tuple[int, int] | None = None,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Streaming sequence-length histogram — the 21st deployable and the
+    online face of the batch histogram_quantiles sketch (HLL =
+    cardinality, CMS = frequency, histogram = quantiles; this completes
+    the streaming set). Per-window p50/p90/p99 of n_tok are then
+    constant-time reads of the sink table (histq_report) — the length
+    distribution of every training window is monitorable without ever
+    re-running the stream.
+
+    Scale shape: bucket ids are literal scan-side arithmetic; the
+    stateful exchange carries (event_ts, bucket) only and its state is
+    <= HIST_BUCKETS rows per window. Cell counts are associative BIGINT
+    sums, so update-mode running emissions converge through the
+    latest-wins keyed sink (key = (window_start, b)) under any batching
+    or replay — the run_cms_job argument on a different cell geometry."""
+    if grid is None:
+        grid = calibrate_hist_grid(spark, input_dir)
+    vmin, vmax = grid
+    sink = make_sink(spark, work_dir, ["window_start", "b"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    cells = _histq_window_cells(stream, vmin, vmax, window, watermark)
+    q = (
+        cells.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_histq_golden(
+    spark: SparkSession,
+    input_dir: str,
+    grid: tuple[int, int],
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Batch twin of run_histq_job's cell table (same fixed grid)."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    return _histq_window_cells(
+        read_sequence_table(spark, input_dir), grid[0], grid[1], window, None
+    )
+
+
+def histq_report(
+    cells: DataFrame,
+    grid: tuple[int, int],
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-window quantile estimates from the sink cell table alone
+    (<= HIST_BUCKETS rows per window — the cumulative window never sees
+    the data). Same estimator as the batch histogram_quantiles: the
+    LOWER EDGE of the first bucket whose cumulative count reaches
+    ceil(q*n), one-sided within (vmax-vmin)/HIST_BUCKETS of the true
+    order statistic for in-range values."""
+    from pyspark.sql import Window as W
+
+    from parallel_dataflow_spark.operators.sketches import HIST_BUCKETS
+
+    vmin, vmax = grid
+    win = (
+        W.partitionBy("window_start")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot = W.partitionBy("window_start")
+    cum = cells.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "n", F.sum("cnt").over(tot)
+    )
+    aggs = [F.max("n").alias("n_rows")]
+    for q in quantiles:
+        name = f"p{int(round(q * 100))}_est"
+        target = F.ceil(F.lit(q) * F.col("n").cast("double"))
+        qb = F.min(F.when(F.col("cum") >= target, F.col("b")))
+        aggs.append(
+            F.round(
+                F.lit(float(vmin))
+                + qb.cast("double")
+                * F.lit(float(vmax - vmin))
+                / F.lit(float(HIST_BUCKETS)),
+                6,
+            ).alias(name)
+        )
+    return cum.groupBy("window_start").agg(*aggs)
+
+
+def histq_rollup(cells: DataFrame, grain_seconds: int = 3600) -> DataFrame:
+    """Coarsen a (window_start, b, cnt) histogram cell table to a larger
+    window grain by groupBy-SUM — the fourth rollup law: the grid is
+    window-independent (calibrated globally), so summed fine-grain cells
+    ARE the direct coarse-grain histogram, and hourly/daily quantiles
+    cost one cell-bounded aggregation with no stream reprocessing."""
+    coarse = (F.col("window_start") / grain_seconds).cast("long") * grain_seconds
+    return (
+        cells.select(coarse.alias("window_start"), "b", "cnt")
+        .groupBy("window_start", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
