@@ -4420,3 +4420,81 @@ def quantile_hist_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         _t(spark, sf_dir, "events"), ["event_type"], "value"
     )
+
+
+_DUPGRAM_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 3),
+                    i -> CAST(concat('0x', substr(md5(
+                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                                 || ws[i+3] || ' ' || ws[i+4]), 1, 15)) AS BIGINT)))
+               AS gh
+      FROM g WHERE len(ws) >= 5
+    ), df AS (
+      SELECT gh, count(*) AS docs_with FROM grams GROUP BY gh
+    )
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(floor((1000000.0 * sum(CASE WHEN df.docs_with >= 2 THEN 1 ELSE 0 END))
+                / count(*)) AS BIGINT) AS dup_ppm
+    FROM grams JOIN df USING (gh)
+    GROUP BY grams.doc_id
+"""
+
+
+@register_extra("dup_ngram_fraction", _DUPGRAM_ORACLE)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication pressure per document: the fraction of each
+    doc's DISTINCT word 5-grams that also occur in at least one other
+    document (gram doc-frequency >= 2) — the cross-document complement
+    of quality_repetition's within-doc signal, and the memorization-risk
+    score used to rank docs for aggressive dedup (cf. Lee et al. 2022's
+    motivation for ExactSubstr).
+
+    Scale shape: grams shuffle as 8-byte md5_60bit hashes, never text
+    (the fraction only needs counts, so a collision-free key suffices
+    and hashing is exact at the oracle too). Three hash exchanges, all
+    map-side combining: (doc, gh) dedup, gram doc-frequency via a window
+    over the gram partition, per-doc ratio agg. No joins back to the
+    corpus — the window reuses the gram partitioning the dedup created.
+    dup_ppm is the integer micro-unit determinism pattern: floor of an
+    IEEE double ratio of exact BIGINTs, identical cross-engine."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    grams5 = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ws")) - 4),
+        lambda i: md5_60bit(
+            F.concat_ws(
+                " ",
+                *[F.element_at(F.col("ws"), (i + k).cast("int")) for k in range(5)],
+            )
+        ),
+    )
+    g = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select("doc_id", F.explode(grams5).alias("gh"))
+        .distinct()
+    )
+    w = Window.partitionBy("gh")
+    scored = g.withColumn("docs_with", F.count("*").over(w))
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum((F.col("docs_with") >= 2).cast("long")).cast("long").alias("n_dup"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        F.floor((F.lit(1000000.0) * F.col("n_dup")) / F.col("n_grams"))
+        .cast("long")
+        .alias("dup_ppm"),
+    )
