@@ -64,6 +64,11 @@ QUERIES = [
     "bloom_semi_join_orders",      # literal-baked bloom scan filter +
                                    # exact semi-join: pruning must never
                                    # change the result at any level
+    "dup_ngram_fraction",          # hashed-gram df window + micro-unit
+                                   # ratio: counts and floor'd ppm vs
+                                   # partitioning
+    "quantile_hist_value",         # fixed-grid histogram: bucket ids and
+                                   # lower-edge estimates vs parallelism
 ]
 
 _PROBE = r"""
