@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
-            "hll", "cms", "bloomgate", "kmv", "hhtrack", "histq",
+            "hll", "cms", "bloomgate", "kmv", "hhtrack", "histq", "outerjoin",
         ],
         default="tumbling",
     )
@@ -210,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
             "kmv": J.run_kmv_job,
             "hhtrack": J.run_hh_job,
             "histq": J.run_histq_job,
+            "outerjoin": J.run_outer_join_job,
         }[args.job]
         query, sink = runner(spark, args.input, args.work)
         query.processAllAvailable()

@@ -1762,3 +1762,75 @@ def histq_rollup(cells: DataFrame, grain_seconds: int = 3600) -> DataFrame:
         .groupBy("window_start", "b")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Left-outer stream-stream join: missing-retokenization detector
+# ---------------------------------------------------------------------------
+
+def _right_feed_filter():
+    """Deterministic ~90% subset predicate for the simulated
+    re-tokenized feed: keep doc_ids with xxhash64 % 10 != 0. Hash-based,
+    so left and right legs agree on membership at any parallelism."""
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) != 0
+
+
+def run_outer_join_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Missing-retokenization detector — the 22nd deployable and the
+    engine's only WATERMARK-EXPIRY EMISSION path: a left-outer
+    stream-stream join of the raw feed against a (simulated, hash-
+    deterministic 90%) re-tokenized feed. Matched pairs emit on arrival;
+    sequences whose twin never arrives emit NULL-PADDED only when the
+    watermark proves no match can still come — the row exists BECAUSE
+    state expired, which no inner join, window agg, or keyed-state job
+    in the repo exercises.
+
+    Operationally this is the pipeline-gap audit at 10^12 scale: the
+    unmatched rows ARE the re-tokenization backlog, emitted incrementally
+    with bounded state (watermark + interval eviction, both sides).
+    Sink key = the full output row (doc_id, left_ts, left_ck, right_ts_s,
+    right_ck) with -1 sentinels for the null side, so replays upsert
+    idempotently. Honest scope note: a finite test stream needs a
+    trailing flush row to push the watermark past the last real event —
+    an unbounded production stream advances it for free."""
+    sink = make_sink(
+        spark,
+        work_dir,
+        ["doc_id", "left_ts", "left_ck", "right_ts_s", "right_ck"],
+        iceberg_table,
+    )
+    left = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    right = read_sequence_stream(spark, input_dir, max_files_per_trigger).filter(
+        _right_feed_filter()
+    )
+    out = W.stream_stream_token_left_join(
+        left, right, watermark=watermark, max_delay=max_delay
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_outer_join_golden(
+    spark: SparkSession, input_dir: str, max_delay: str = "5 minutes"
+) -> DataFrame:
+    """Batch twin of run_outer_join_job: the IDENTICAL plan function over
+    the table at rest — ``withWatermark`` is a no-op in batch queries, so
+    stream and twin share every line of the join logic."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    left = read_sequence_table(spark, input_dir)
+    right = read_sequence_table(spark, input_dir).filter(_right_feed_filter())
+    return W.stream_stream_token_left_join(left, right, max_delay=max_delay)

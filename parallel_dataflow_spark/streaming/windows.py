@@ -163,3 +163,49 @@ def stream_stream_token_join(
         & (F.col("r.event_ts") <= F.col("l.event_ts") + F.expr(f"INTERVAL {max_delay}")),
         "inner",
     ).select(*cols)
+
+
+def stream_stream_token_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every left (raw-feed)
+    sequence paired with its re-tokenized twin arriving within
+    ``max_delay`` — or emitted NULL-PADDED once the watermark proves no
+    twin can still arrive. The outer side is the semantics the inner
+    join cannot express: "this sequence was never re-tokenized" is a
+    fact only state expiry can assert, so the null row materializes when
+    Spark evicts the unmatched left row from the join state (bounded by
+    watermark + interval, same as the inner join).
+
+    Null right-side fields are coalesced to -1 sentinels so the output
+    is KEYABLE: an idempotent keyed sink cannot upsert on nullable key
+    columns, and (-1, -1) cannot collide with a real match (epochs and
+    checksums are non-negative)."""
+    l = left.withWatermark("event_ts", watermark).alias("l")
+    r = right.withWatermark("event_ts", watermark).alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.doc_id") == F.col("r.doc_id"))
+        & (F.col("r.event_ts") >= F.col("l.event_ts"))
+        & (F.col("r.event_ts") <= F.col("l.event_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("l.doc_id").alias("doc_id"),
+        F.col("l.event_ts").alias("left_ts"),
+        token_checksum(F.col("l.tokens")).alias("left_ck"),
+        F.col("r.event_ts").isNotNull().alias("matched"),
+        F.coalesce(
+            F.col("r.event_ts").cast("timestamp_ltz").cast("long"), F.lit(-1)
+        ).alias("right_ts_s"),
+        # guard on the join's null indicator, NOT on coalesce over the
+        # checksum: Spark's xxhash64(NULL) hashes the seed and returns
+        # a non-null constant, so a bare coalesce would stamp every
+        # unmatched row with that phantom checksum
+        F.when(
+            F.col("r.event_ts").isNotNull(), token_checksum(F.col("r.tokens"))
+        ).otherwise(F.lit(-1)).alias("right_ck"),
+    )
