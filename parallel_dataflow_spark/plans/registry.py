@@ -4498,3 +4498,70 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+_VOCAB_GROWTH_ORACLE = """
+    WITH tok AS (
+      SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), first_seen AS (
+      SELECT word, min(bucket) AS b FROM tok GROUP BY word
+    ), new_per AS (
+      SELECT b AS bucket, CAST(count(*) AS BIGINT) AS new_words
+      FROM first_seen GROUP BY b
+    ), tok_per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_tokens
+      FROM tok GROUP BY bucket
+    )
+    SELECT t.bucket,
+           coalesce(n.new_words, 0) AS new_words,
+           CAST(sum(coalesce(n.new_words, 0)) OVER (ORDER BY t.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_cum,
+           CAST(sum(t.bucket_tokens) OVER (ORDER BY t.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS tokens_cum
+    FROM tok_per t LEFT JOIN new_per n USING (bucket)
+"""
+
+
+@register_extra("vocab_growth_curve", _VOCAB_GROWTH_ORACLE)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: new / cumulative distinct words vs
+    cumulative token volume over 50-doc ingestion buckets — the
+    tokenizer-coverage planning signal (how fast does the open vocabulary
+    still grow at the corpus tail?).
+
+    Scale shape: bucket ids are map-side arithmetic on doc_id (no global
+    rank/row_number); "first bucket a word appears in" is ONE min-agg
+    shuffle on the word (map-side combining — each partition contributes
+    one candidate per word), then per-bucket counts. The only totally-
+    ordered step — the running sums — runs over the CURVE table (one row
+    per bucket), never the corpus; at 10^12 docs you widen the bucket so
+    the curve stays output-sized."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    tok = d.select(
+        F.floor(F.col("doc_id") / 50).cast("long").alias("bucket"),
+        F.explode(ws).alias("word"),
+    )
+    first_seen = tok.groupBy("word").agg(F.min("bucket").alias("b"))
+    new_per = first_seen.groupBy(F.col("b").alias("bucket")).agg(
+        F.count("*").cast("long").alias("new_words")
+    )
+    tok_per = tok.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("bucket_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = tok_per.join(new_per, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("new_words"), F.lit(0)).cast("long").alias("new_words"),
+        "bucket_tokens",
+    )
+    return curve.select(
+        "bucket",
+        "new_words",
+        F.sum("new_words").over(w).cast("long").alias("vocab_cum"),
+        F.sum("bucket_tokens").over(w).cast("long").alias("tokens_cum"),
+    )
