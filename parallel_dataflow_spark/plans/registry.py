@@ -4565,3 +4565,53 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_words").over(w).cast("long").alias("vocab_cum"),
         F.sum("bucket_tokens").over(w).cast("long").alias("tokens_cum"),
     )
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('epoch7|' || CAST(doc_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) AS sk
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, sk, sk % 8 AS shard FROM keyed
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM sharded
+"""
+
+
+@register_extra("epoch_shuffle_manifest", _EPOCH_SHUFFLE_ORACLE)
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training order: every doc gets a
+    seeded md5 sort key; docs are dealt into 8 shards by key and ranked
+    within their shard — the (shard, pos) manifest IS the epoch's read
+    order (readers consume shards round-robin). Changing the epoch seed
+    string reshuffles; the same seed replays identically on any cluster.
+
+    Scale shape: NO global row_number — the total order is sharded, so
+    each rank window sorts only its shard (S× parallel, one hash
+    exchange). The manifest is the shuffle: data files never move, and
+    a curriculum or packing pass can consume (shard, pos) directly.
+    Keys are md5_60bit → the whole manifest replays hash-exact in the
+    oracle and is partition-count-independent (sk ties broken by
+    doc_id, and md5 keys are collision-free at 60 bits in practice —
+    the tiebreak makes determinism unconditional)."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        md5_60bit(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string"))).alias(
+            "sk"
+        ),
+    )
+    sharded = keyed.withColumn("shard", F.pmod(F.col("sk"), F.lit(8)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("sk", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
