@@ -4615,3 +4615,70 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+_QLINEAR_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) % 1024)
+               AS b
+      FROM tok
+    ), scored AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum((b * 2654435761) % 2001 - 1000) AS BIGINT)
+               AS score_micro
+      FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, score_micro,
+           (score_micro >= 25 * n_words) AS keep
+    FROM scored
+"""
+
+
+@register_extra("quality_linear_score", _QLINEAR_ORACLE)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fastText/CCNet
+    quality-gate shape: each word hashes into one of 1024 feature
+    buckets, the doc score is the sum of the bucket weights, and the
+    keep decision thresholds the per-word average. Weights here are a
+    deterministic synthetic table (w(b) = (b·2654435761) mod 2001 −
+    1000, milli-units) standing in for offline-trained parameters — the
+    Spark plumbing (hash → weight lookup → per-doc fold → exact
+    threshold) is exactly what a real exported linear model needs.
+
+    Scale shape: the "model" is an EXPRESSION, not a join — weight
+    lookup is map-side arithmetic on the word hash, so the only
+    exchange is the per-doc sum (map-side combining). The keep rule is
+    the exact-integer cross-multiply score_micro >= thr·n_words — no
+    float division anywhere, so the gate is unconditionally
+    deterministic (the DSIR integer-weight pattern on a linear model).
+    With real trained weights the expression becomes a ≤4096-entry
+    broadcast map — same plan class as perplexity_buckets' LM tables."""
+    from parallel_dataflow_spark.functions.text import md5_60bit
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    feat = d.select(
+        "doc_id",
+        F.explode(ws).alias("word"),
+    ).select(
+        "doc_id",
+        F.pmod(md5_60bit(F.col("word")), F.lit(1024)).alias("b"),
+    )
+    scored = feat.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.pmod(F.col("b") * F.lit(2654435761), F.lit(2001)) - F.lit(1000))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "score_micro",
+        (F.col("score_micro") >= F.lit(25) * F.col("n_words")).alias("keep"),
+    )
