@@ -127,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
             "hll", "cms", "bloomgate", "kmv", "hhtrack", "histq", "outerjoin",
+            "matview",
         ],
         default="tumbling",
     )
@@ -211,10 +212,13 @@ def main(argv: list[str] | None = None) -> int:
             "hhtrack": J.run_hh_job,
             "histq": J.run_histq_job,
             "outerjoin": J.run_outer_join_job,
+            "matview": J.run_matview_job,
         }[args.job]
-        query, sink = runner(spark, args.input, args.work)
+        query, *sinks = runner(spark, args.input, args.work)
         query.processAllAvailable()
         query.stop()
+        # report the user-facing sink (jobs with a derived view return it last)
+        sink = sinks[-1]
         print(json.dumps({"sink": sink.base_dir, "rows": sink.read(spark).count()}))
     return 0
 

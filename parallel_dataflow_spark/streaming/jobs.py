@@ -1834,3 +1834,62 @@ def batch_outer_join_golden(
     left = read_sequence_table(spark, input_dir)
     right = read_sequence_table(spark, input_dir).filter(_right_feed_filter())
     return W.stream_stream_token_left_join(left, right, max_delay=max_delay)
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained materialized view over the sketch sink
+# ---------------------------------------------------------------------------
+
+def run_matview_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+) -> tuple[StreamingQuery, IdempotentKeyedSink, IdempotentKeyedSink]:
+    """Continuously-maintained cardinality view — the 23rd deployable:
+    one stateful stage (the HLL register agg) feeds TWO exactly-once
+    sinks per micro-batch: the raw register sink (key (window_start,
+    bucket)) and a DERIVED estimates sink (key window_start) recomputed
+    from the register sink for ONLY the windows the batch touched. The
+    report stops being an on-demand query (`hll_report`) and becomes an
+    incrementally-maintained materialized view — the dataflow-graph
+    "one vertex, two output channels" topology as foreachBatch.
+
+    Replay safety is compositional: the register upsert is the standard
+    latest-wins argument; the estimate recompute is a DETERMINISTIC
+    function of the register sink's resolved state, so a replayed batch
+    rewrites byte-identical estimate rows (idempotent epoch overwrite),
+    and a crash between the two writes just replays both. Per-batch
+    derived work is bounded: touched windows × (≤ 2^p register rows +
+    one estimate row) — never the stream, never all windows."""
+    from parallel_dataflow_spark.operators.sketches import hll_estimate
+
+    reg_sink = IdempotentKeyedSink(
+        os.path.join(work_dir, "sink"), key_cols=["window_start", "bucket"]
+    )
+    est_sink = IdempotentKeyedSink(
+        os.path.join(work_dir, "est_sink"), key_cols=["window_start"]
+    )
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        reg_sink.write_batch(batch_df, batch_id)
+        touched = [
+            r["window_start"]
+            for r in batch_df.select("window_start").distinct().collect()
+        ]
+        if not touched:
+            return
+        regs = reg_sink.read(spark).filter(F.col("window_start").isin(touched))
+        est_sink.write_batch(hll_estimate(regs, ["window_start"]), batch_id)
+
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    regs = _hll_window_registers(stream, window, watermark)
+    q = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(fb)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, reg_sink, est_sink
