@@ -65,9 +65,26 @@ class IdempotentKeyedSink:
             if d.startswith("epoch=") and os.path.isdir(os.path.join(self.base_dir, d))
         )
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Resolved view: latest epoch wins per key."""
+    def epochs(self) -> list[int]:
+        """Committed epoch ids, ascending — the sink's lineage axis."""
+        return sorted(
+            int(os.path.basename(d).split("=", 1)[1]) for d in self._epoch_dirs()
+        )
+
+    def read(self, spark: SparkSession, as_of_epoch: int | None = None) -> DataFrame:
+        """Resolved view: latest epoch wins per key. ``as_of_epoch``
+        time-travels — resolve using only epochs <= it, i.e. the exact
+        table a reader saw after that micro-batch committed. Epoch dirs
+        ARE the lineage (each is one micro-batch's idempotent write), so
+        time-travel is a directory filter, not a format feature — the
+        parquet stand-in for Iceberg snapshot reads (VERSION AS OF)."""
         dirs = self._epoch_dirs()
+        if as_of_epoch is not None:
+            dirs = [
+                d
+                for d in dirs
+                if int(os.path.basename(d).split("=", 1)[1]) <= as_of_epoch
+            ]
         if not dirs:
             raise FileNotFoundError(f"empty sink: {self.base_dir}")
         raw = spark.read.parquet(*dirs)

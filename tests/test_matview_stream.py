@@ -67,51 +67,17 @@ def test_matview_exactly_once_resume(spark, tmp_path):
 def test_matview_intermediate_epochs_are_true_prefixes(spark, tmp_path):
     """Every estimate epoch the view wrote along the way must equal the
     on-demand report over the registers as of that epoch — i.e. the view
-    was CORRECT continuously, not just at the end."""
-    import os
-
-    from pyspark.sql import functions as F
-
-    from parallel_dataflow_spark.streaming.sink import IdempotentKeyedSink
-
+    was CORRECT continuously, not just at the end (time-travel reads are
+    the lineage axis that makes this assertable)."""
     src = _source(spark, tmp_path, seed=107)
     work = str(tmp_path / "work")
     q, reg_sink, est_sink = run_matview_job(spark, src, work, max_files_per_trigger=1)
     q.processAllAvailable()
     q.stop()
 
-    est_epochs = sorted(
-        int(d.split("=")[1])
-        for d in os.listdir(est_sink.base_dir)
-        if d.startswith("epoch=")
-    )
+    est_epochs = est_sink.epochs()
     assert len(est_epochs) >= 3  # mft=1 over 6 files: several maintenance steps
     for e in est_epochs:
-        reg_dirs = [
-            os.path.join(reg_sink.base_dir, d)
-            for d in os.listdir(reg_sink.base_dir)
-            if d.startswith("epoch=") and int(d.split("=")[1]) <= e
-        ]
-        raw = spark.read.parquet(*reg_dirs)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("window_start", "bucket").orderBy(F.desc("__epoch"))
-        regs_at_e = (
-            raw.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__epoch")
-        )
-        want = canon(hll_report(regs_at_e))
-        est_dirs = [
-            os.path.join(est_sink.base_dir, d)
-            for d in os.listdir(est_sink.base_dir)
-            if d.startswith("epoch=") and int(d.split("=")[1]) <= e
-        ]
-        eraw = spark.read.parquet(*est_dirs)
-        ew = Window.partitionBy("window_start").orderBy(F.desc("__epoch"))
-        got = canon(
-            eraw.withColumn("__rn", F.row_number().over(ew))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__epoch")
-        )
+        want = canon(hll_report(reg_sink.read(spark, as_of_epoch=e)))
+        got = canon(est_sink.read(spark, as_of_epoch=e))
         assert got == want, f"view diverged at epoch {e}"

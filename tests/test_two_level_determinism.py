@@ -69,6 +69,12 @@ QUERIES = [
                                    # partitioning
     "quantile_hist_value",         # fixed-grid histogram: bucket ids and
                                    # lower-edge estimates vs parallelism
+    "epoch_shuffle_manifest",      # sharded seeded sort: row_number with
+                                   # (sk, doc_id) tiebreak must be total
+    "quality_linear_score",        # integer-weight linear gate: exact
+                                   # cross-multiply threshold, no floats
+    "vocab_growth_curve",          # min-agg first-seen + curve-sized
+                                   # running sums vs partitioning
 ]
 
 _PROBE = r"""
