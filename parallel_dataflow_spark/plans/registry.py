@@ -4682,3 +4682,118 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micro",
         (F.col("score_micro") >= F.lit(25) * F.col("n_words")).alias("keep"),
     )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 3-iteration integer PageRank oracle (the unrolled-CTE
+    scheme used for k-means/PQ, applied to a graph recurrence)."""
+    steps = []
+    prev = "r0"
+    for t in range(1, 4):
+        steps.append(f"""
+    c{t} AS (
+      SELECT e.dst AS word,
+             sum((({prev}.rank_micro * 17) // 20) // od.outdeg) AS contrib
+      FROM edges e
+      JOIN {prev} ON {prev}.word = e.src
+      JOIN outdeg od ON od.word = e.src
+      GROUP BY e.dst
+    ), r{t} AS (
+      SELECT n.word,
+             CAST(150000 + coalesce(c{t}.contrib, 0) AS BIGINT) AS rank_micro
+      FROM nodes n LEFT JOIN c{t} USING (word)
+    )""")
+        prev = f"r{t}"
+    return (
+        """
+    WITH g AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), pairs AS (
+      SELECT ws[i] AS src, ws[i + 1] AS dst
+      FROM g, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM pairs WHERE src <> dst
+    ), nodes AS (
+      SELECT src AS word FROM edges UNION SELECT dst FROM edges
+    ), outdeg AS (
+      SELECT src AS word, CAST(count(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT word, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
+    ),"""
+        + ",".join(steps)
+        + """
+    SELECT word, rank_micro FROM r3
+    """
+    )
+
+
+@register_extra("pagerank_word_graph", _pagerank_sql())
+def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, d = 0.85) over the corpus
+    word-adjacency graph — the iterative-graph family member beyond the
+    fixpoint worklist (operators/fixpoint.py) and connected components
+    (operators/graph.py): rank mass flows along DIRECTED edges with a
+    per-step damping recurrence rather than converging monotone labels.
+
+    Determinism: ranks live in integer micro-units; each edge carries
+    floor(floor(rank·17/20)/outdeg) using integral `div` on both engines
+    (all values non-negative, so Spark's truncating div == DuckDB's
+    flooring //), and per-node sums are exact BIGINT — fold-order-
+    independent, hash-exact vs the unrolled-CTE oracle. Dangling-node
+    rank mass is dropped (the standard simplification), identically in
+    both engines.
+
+    Scale shape: the edge table is built once (distinct adjacent word
+    pairs — the corpus tail dies in the distinct's map-side partial) and
+    reused every iteration; each step is one src-hash join + one dst-hash
+    sum — at 10^12 scale you bucket edges AND ranks by the same key so
+    the per-iteration join is co-partitioned (sources/bucketed.py shows
+    the layout), and iterations touch only the GRAPH, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    pairs = (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    )
+    edges = pairs.filter(F.col("src") != F.col("dst")).distinct()
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("word"))
+        .union(edges.select(F.col("dst").alias("word")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("word")).agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    ranks = nodes.select("word", F.lit(1000000).cast("long").alias("rank_micro"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["word"])
+            .join(outdeg.withColumnRenamed("word", "ow"), F.col("src") == F.col("ow"))
+            .select(
+                F.col("dst").alias("word"),
+                F.expr("(rank_micro * 17) div 20 div outdeg").alias("c"),
+            )
+            .groupBy("word")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "word", "left").select(
+            "word",
+            (F.lit(150000) + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("long")
+            .alias("rank_micro"),
+        )
+    return ranks

@@ -75,6 +75,9 @@ QUERIES = [
                                    # cross-multiply threshold, no floats
     "vocab_growth_curve",          # min-agg first-seen + curve-sized
                                    # running sums vs partitioning
+    "pagerank_word_graph",         # 3-step integer rank recurrence:
+                                   # per-edge div + BIGINT sums must be
+                                   # fold-order-independent
 ]
 
 _PROBE = r"""
