@@ -4797,3 +4797,80 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_micro"),
         )
     return ranks
+
+
+_TRIANGLE_ORACLE = """
+    WITH g AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), pairs AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM g, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ), und AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM pairs WHERE a <> b
+    ), wedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1 JOIN und e2 ON e1.v = e2.u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges
+    FROM wedges w JOIN und e3 ON w.a = e3.u AND w.c = e3.v
+"""
+
+
+@register_extra("triangle_count_word_graph", _TRIANGLE_ORACLE)
+def triangle_count_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the undirected word-adjacency graph —
+    the counting member of the graph family (components = graph.py,
+    recurrence = pagerank_word_graph, counting = this): a clustering-
+    coefficient-style corpus topology signal.
+
+    The classic distributed shape: orient every undirected edge from
+    its lexicographically smaller endpoint (each triangle then exists
+    as EXACTLY ONE wedge a<b<c plus its closing edge, so no /3 or /6
+    correction and no double counting), build wedges with one self-join
+    on the middle vertex, close them with a second join. Orientation is
+    also the scale lever: wedge volume is sum of C(deg_out, 2) under the
+    ordering, the standard mitigation for high-degree hubs (at 10^12
+    scale you orient by (degree, id) instead of id alone, same plan).
+    Everything is equi-joins on string keys — no Python, no cartesian."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    pairs = (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        pairs.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("wa"), F.col("e2.v").alias("wc")
+    )
+    e3 = und.alias("e3")
+    tri = wedges.join(
+        e3, (F.col("wa") == F.col("e3.u")) & (F.col("wc") == F.col("e3.v"))
+    )
+    n_edges = und.count()
+    return tri.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
