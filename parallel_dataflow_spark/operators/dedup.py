@@ -157,11 +157,10 @@ def jaccard_pairs_lsh(
     )
     sig = d.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("shash"))).persist()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    # band keys only through the explode + self-join (see minhash_lsh_pairs:
+    # arrays and policy columns fetched per candidate, not shipped 64x/doc)
     banded = sig.select(
         "doc_id",
-        "lang",
-        "n_chars",
-        "shash",
         F.explode(
             F.transform(
                 band_idx,
@@ -178,28 +177,46 @@ def jaccard_pairs_lsh(
                 ),
             )
         ).alias("bk"),
-    ).select(
-        "doc_id", "lang", "n_chars", "shash",
-        F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"),
-    )
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # the blocking POLICY rides on the candidate join as a filter
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= length_band),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shash").alias("sh_a"),
-            F.col("b.shash").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    attrs = sig.select("doc_id", "lang", "n_chars", "shash")
+    cand = (
+        cand_ids.join(
+            attrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("lang").alias("lang_a"),
+                F.col("n_chars").alias("nc_a"),
+                F.col("shash").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("n_chars").alias("nc_b"),
+                F.col("shash").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        # the blocking POLICY applies on the fetched candidate attributes
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= length_band)
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
@@ -247,9 +264,13 @@ def minhash_lsh_pairs(
     sig = d.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("shash"))).persist()
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    # band KEYS only ride the self-join exchange — the shingle-hash
+    # arrays must NOT be exploded through the bands (they would cross
+    # the wire `bands`× per doc per side); candidates fetch their two
+    # arrays afterwards, so array bytes move once per candidate side
+    # instead of 32× per doc
     banded = sig.select(
         "doc_id",
-        "shash",
         F.explode(
             F.transform(
                 band_idx,
@@ -266,11 +287,11 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("doc_id", "shash", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -280,10 +301,16 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shash").alias("sh_a"),
-            F.col("b.shash").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    arrays = sig.select("doc_id", "shash")
+    cand = cand_ids.join(
+        arrays.select(F.col("doc_id").alias("doc_a"), F.col("shash").alias("sh_a")),
+        "doc_a",
+    ).join(
+        arrays.select(F.col("doc_id").alias("doc_b"), F.col("shash").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
