@@ -143,13 +143,16 @@ def embedding_lsh_pairs(
     exactly (plans/registry.py dedup_embedding_lsh).
     """
     sign_buckets = _sign_buckets_udf(bits_per_table, tables, seed)
+    # bucket KEYS only through the explode + self-join: the float vector
+    # must not ride the exchange `tables`x per side (the LSH-band rule
+    # shared with operators/dedup.py); candidates fetch their two vectors
+    # from the embeddings scan afterwards
     b = embeddings.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
         F.posexplode(sign_buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             c,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -159,10 +162,14 @@ def embedding_lsh_pairs(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    cand = cand_ids.join(
+        vecs.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va")), "vec_a"
+    ).join(
+        vecs.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb")), "vec_b"
     )
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
