@@ -127,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             "tumbling", "sliding", "session", "throughput", "dedup", "join",
             "pipeline", "neardup", "drift", "mix", "quota", "spandedup", "dsirgate",
             "hll", "cms", "bloomgate", "kmv", "hhtrack", "histq", "outerjoin",
-            "matview",
+            "matview", "enrich",
         ],
         default="tumbling",
     )
@@ -213,6 +213,7 @@ def main(argv: list[str] | None = None) -> int:
             "histq": J.run_histq_job,
             "outerjoin": J.run_outer_join_job,
             "matview": J.run_matview_job,
+            "enrich": J.run_enrich_job,
         }[args.job]
         query, *sinks = runner(spark, args.input, args.work)
         query.processAllAvailable()

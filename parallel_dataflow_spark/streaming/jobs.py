@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -1893,3 +1893,110 @@ def run_matview_job(
         .start()
     )
     return q, reg_sink, est_sink
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join: broadcast dim onto the sequence stream
+# ---------------------------------------------------------------------------
+
+def calibrate_source_tiers(
+    spark: SparkSession, input_dir: str, n_tiers: int = 3
+) -> list[tuple[str, int]]:
+    """Batch-derived dimension table: sources ranked into ``n_tiers``
+    tiers by median sequence length (deterministic tie-break on source
+    name). The calibrate-offline / enforce-online split producing a
+    TABLE instead of literals — the dim is small (one row per source),
+    which is exactly what makes the online join broadcastable."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    med = (
+        read_sequence_table(spark, input_dir)
+        .groupBy("source")
+        .agg(F.median("n_tok").alias("med"))
+    )
+    w = Window.orderBy(F.desc("med"), F.asc("source"))
+    rows = med.select("source", F.ntile(n_tiers).over(w).alias("tier")).collect()
+    return sorted((r["source"], int(r["tier"])) for r in rows)
+
+
+def _enrich_agg(
+    df: DataFrame, dim: DataFrame, window: str, watermark: str | None
+) -> DataFrame:
+    """Shared stream/batch plan: broadcast-join the per-source tier dim
+    onto the feed (stream-static join — stateless, no watermark
+    interplay), then the per-(window, tier) stats agg. Sources missing
+    from the dim fall into tier 0 rather than silently dropping (inner
+    join would lose rows the calibration never saw — the mixing.py
+    advisor lesson applied to enrichment)."""
+    pre = df.join(F.broadcast(dim), "source", "left").select(
+        "event_ts",
+        F.coalesce(F.col("tier"), F.lit(0)).alias("tier"),
+        "n_tok",
+    )
+    if watermark is not None:
+        pre = pre.withWatermark("event_ts", watermark)
+    return (
+        pre.groupBy(F.window("event_ts", window).alias("wd"), "tier")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("wd.start").cast("timestamp_ltz").cast("long").alias("window_start"),
+            "tier",
+            "n_rows",
+            "n_tokens",
+        )
+    )
+
+
+def run_enrich_job(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    tiers: list[tuple[str, int]] | None = None,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 2,
+    iceberg_table: str | None = None,
+) -> tuple[StreamingQuery, IdempotentKeyedSink]:
+    """Stream-static enrichment — the 24th deployable and the one join
+    topology the engine didn't yet exercise: a BATCH dimension table
+    (per-source quality tiers from calibrate_source_tiers) broadcast
+    onto the unbounded stream, feeding a per-(window, tier) stats agg.
+    Completes the topology matrix: stateless gate, stateful window agg,
+    stream-stream inner + outer, keyed custom state, two-sink matview,
+    and now dim-table enrichment.
+
+    Scale shape: the dim is one row per SOURCE (thousands at most at any
+    corpus size) — a BroadcastHashJoin at the scan with zero shuffle and
+    zero state; the only stateful stage is the tier-bounded window agg.
+    Counts/sums are associative BIGINT → the latest-wins sink converges
+    under any batching or replay (the run_cms_job argument). Unlisted
+    sources keep flowing as tier 0 — enrichment must never drop data."""
+    if tiers is None:
+        tiers = calibrate_source_tiers(spark, input_dir)
+    dim = spark.createDataFrame(tiers, "source string, tier int")
+    sink = make_sink(spark, work_dir, ["window_start", "tier"], iceberg_table)
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
+    agg = _enrich_agg(stream, dim, window, watermark)
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .start()
+    )
+    return q, sink
+
+
+def batch_enrich_golden(
+    spark: SparkSession,
+    input_dir: str,
+    tiers: list[tuple[str, int]],
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Batch twin of run_enrich_job's stats table (same dim rows)."""
+    from parallel_dataflow_spark.sources.sequences import read_sequence_table
+
+    dim = spark.createDataFrame(tiers, "source string, tier int")
+    return _enrich_agg(read_sequence_table(spark, input_dir), dim, window, None)
