@@ -4874,3 +4874,84 @@ def triangle_count_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_triangles"),
         F.lit(n_edges).cast("long").alias("n_edges"),
     )
+
+
+_FUNNEL_ORACLE = """
+    WITH fv AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), fc AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'click' AND e.ts >= fv.t_view
+                      THEN e.ts END) AS t_click
+      FROM events e JOIN fv USING (user_id)
+      GROUP BY e.user_id
+    ), fp AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts >= fc.t_click
+                      THEN e.ts END) AS t_purchase
+      FROM events e JOIN fc USING (user_id)
+      GROUP BY e.user_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                                  AS n_users,
+      CAST(count(fv.t_view) AS BIGINT)                          AS n_viewed,
+      CAST(count(fc.t_click) AS BIGINT)                         AS n_clicked,
+      CAST(count(fp.t_purchase) AS BIGINT)                      AS n_purchased
+    FROM fv
+    LEFT JOIN fc USING (user_id)
+    LEFT JOIN fp USING (user_id)
+"""
+
+
+@register_extra("funnel_view_click_purchase", _FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    first view, the first click AT OR AFTER it, and the first purchase
+    at or after that — the batch-SQL expression of the ordered-sequence
+    semantics the CEP NFA implements statefully (word_sequence_match /
+    cep_token_pattern are the token twins; this is the analytics-shape
+    twin over events).
+
+    Scale shape: all three stages are window functions over ONE user-hash
+    partitioning — the exchange happens once and every later stage reuses
+    it (zero additional shuffles, no self-joins; the oracle's join chain
+    is the same computation in join form). Timestamps compare exactly;
+    counts are exact BIGINTs."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_viewed"),
+        F.count("t_click").cast("long").alias("n_clicked"),
+        F.count("t_purchase").cast("long").alias("n_purchased"),
+    )
