@@ -78,6 +78,9 @@ QUERIES = [
     "pagerank_word_graph",         # 3-step integer rank recurrence:
                                    # per-edge div + BIGINT sums must be
                                    # fold-order-independent
+    "funnel_view_click_purchase",  # chained conditional window mins:
+                                   # ordered-stage timestamps vs
+                                   # partitioning
 ]
 
 _PROBE = r"""
