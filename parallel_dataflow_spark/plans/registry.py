@@ -4955,3 +4955,85 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").cast("long").alias("n_clicked"),
         F.count("t_purchase").cast("long").alias("n_purchased"),
     )
+
+
+_SESSIONIZE_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_s
+      FROM sessioned GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)        AS n_sessions,
+           CAST(sum(n_events) AS BIGINT)   AS n_events,
+           CAST(max(span_s) AS BIGINT)     AS max_span_s
+    FROM sessions GROUP BY user_id
+"""
+
+
+@register_extra("sessionize_events_gap", _SESSIONIZE_ORACLE)
+def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-minute inactivity gap): the
+    SQL-expressible twin of the streaming ``session_window`` job
+    (events_session_5m / run_session_job) — lag marks session starts,
+    a running sum assigns session ids, two grouped rollups summarize.
+    The lag/cumsum construction is the standard batch sessionization at
+    any scale.
+
+    Scale shape: ONE user-hash exchange drives the lag window, the
+    cumulative-sum window, and the (user, session) agg — all three
+    reuse the same partitioning (session ordering is within-user, so no
+    global sort exists anywhere); the per-user rollup rides the same
+    key. Tie-break on (ts, event_id) makes lag deterministic under
+    same-timestamp events; spans are exact integer epoch seconds."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(ow).isNull()
+            | (
+                _epoch(F.col("ts")) - _epoch(F.lag("ts").over(ow))
+                > 1800
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    cw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessioned = marked.select(
+        "user_id", "ts", F.sum("new_session").over(cw).alias("session_id")
+    )
+    sessions = sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (_epoch(F.max("ts")) - _epoch(F.min("ts"))).cast("long").alias("span_s"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("span_s").cast("long").alias("max_span_s"),
+    )
