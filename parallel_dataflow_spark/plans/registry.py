@@ -5037,3 +5037,46 @@ def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         F.max("span_s").cast("long").alias("max_span_s"),
     )
+
+
+_RETENTION_ORACLE = """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.d0,
+             date_diff('day', f.d0, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT d0 AS cohort_day, day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY d0, day_offset
+"""
+
+
+@register_extra("retention_daily_cohorts", _RETENTION_ORACLE)
+def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: users grouped by first-seen day,
+    counted distinct on every (cohort, day-offset) they were active —
+    the classic engagement rollup over the events stream's batch view.
+
+    Scale shape: the first-seen agg and the enrichment join share the
+    user-hash partitioning (one exchange feeds both); the distinct on
+    (user, cohort, offset) is the only corpus-volume shuffle and its
+    map-side partial collapses each user's repeated same-day events
+    before the wire; the final matrix agg is output-sized (cohorts ×
+    offsets). Dates and offsets are exact integers — no timestamp
+    fraction anywhere (the sessionize_events_gap lesson: stay in whole
+    DATE units when both engines must agree)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    f = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = (
+        e.join(f, "user_id")
+        .select("user_id", "d0", F.datediff("d", "d0").alias("day_offset"))
+        .distinct()
+    )
+    return act.groupBy(F.col("d0").alias("cohort_day"), "day_offset").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
