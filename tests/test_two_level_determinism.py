@@ -81,6 +81,10 @@ QUERIES = [
     "funnel_view_click_purchase",  # chained conditional window mins:
                                    # ordered-stage timestamps vs
                                    # partitioning
+    "sessionize_events_gap",       # lag + cumsum session ids: same-second
+                                   # tie-breaks vs partitioning
+    "retention_daily_cohorts",     # first-seen min-agg + distinct matrix
+                                   # vs partitioning
 ]
 
 _PROBE = r"""
