@@ -5080,3 +5080,79 @@ def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy(F.col("d0").alias("cohort_day"), "day_offset").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+_SKEW_REPORT_ORACLE = """
+    WITH tot AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+                  AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT toks,
+             row_number() OVER (ORDER BY toks, source) AS i
+      FROM tot
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(toks) AS BIGINT) AS total,
+             CAST(max(toks) AS BIGINT) AS mx,
+             CAST(sum(i * toks) AS BIGINT) AS iwsum
+      FROM ranked
+    )
+    SELECT n AS n_sources, total AS total_tokens,
+           CAST(floor((1000000.0 * mx * n) / total) AS BIGINT)
+             AS skew_factor_micro,
+           CAST(floor((1000000.0 * (2 * iwsum - (n + 1) * total)) / (n * total))
+             AS BIGINT) AS gini_micro
+    FROM s
+"""
+
+
+@register_extra("skew_report_sources", _SKEW_REPORT_ORACLE)
+def skew_report_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew audit over per-source token mass: max/mean skew factor
+    and the Gini coefficient — the measurement that justifies (or
+    rules out) the salted-repartition strategy the graded
+    ``skew_salted_source_totals`` entry applies. At 10^12 scale this is
+    the report a pipeline runs BEFORE choosing salt buckets.
+
+    Determinism: the Gini rank-weighted form G = (2·Σi·x_i − (n+1)·Σx)
+    / (n·Σx) over ascending-sorted totals is computed entirely in exact
+    BIGINTs (rank ties broken by source name), with ONE double division
+    floored to micro-units at the end — the integer micro-unit pattern.
+    Scale shape: one corpus-volume agg (per-source totals, map-side
+    combining); ranking and the scalar fold run on the KEY table (one
+    row per source), so the single-partition window is output-sized."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    )
+    tot = d.groupBy("source").agg(
+        F.sum(n_words).cast("long").alias("toks")
+    )
+    w = Window.orderBy("toks", "source")
+    ranked = tot.select("source", "toks", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("toks").cast("long").alias("total"),
+        F.max("toks").cast("long").alias("mx"),
+        F.sum(F.col("i") * F.col("toks")).cast("long").alias("iwsum"),
+    )
+    return s.select(
+        F.col("n").alias("n_sources"),
+        F.col("total").alias("total_tokens"),
+        F.floor(
+            (F.lit(1000000.0) * F.col("mx") * F.col("n")) / F.col("total")
+        )
+        .cast("long")
+        .alias("skew_factor_micro"),
+        F.floor(
+            (
+                F.lit(1000000.0)
+                * (F.lit(2) * F.col("iwsum") - (F.col("n") + F.lit(1)) * F.col("total"))
+            )
+            / (F.col("n") * F.col("total"))
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )
