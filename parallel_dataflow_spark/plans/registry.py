@@ -5156,3 +5156,61 @@ def skew_report_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_micro"),
     )
+
+
+_ENTROPY_ORACLE = """
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), c AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, word
+    ), t AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM c GROUP BY source
+    )
+    SELECT c.source,
+           max(t.total) AS n_tokens,
+           max(t.vocab) AS vocab_size,
+           round(sum(c.c * ln(t.total::DOUBLE / c.c)) / max(t.total), 4)
+             AS entropy_nats
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+"""
+
+
+@register_extra("unigram_entropy_by_source", _ENTROPY_ORACLE)
+def unigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per source (nats/token) with vocab size —
+    the lexical-diversity twin of ``token_zipf_slope``: low entropy =
+    repetitive/templated source, high = diverse. A standard corpus-mix
+    diagnostic next to the JS-divergence drift monitor.
+
+    Scale shape: one corpus-volume (source, word) count agg (map-side
+    combining); everything after — totals, ln terms, the weighted fold —
+    runs on the VOCAB-bounded count table. The ln lives on that bounded
+    table and the result rounds to 4 dp, the bigram_logprob_docs
+    precedent (1-ulp-class cross-engine ln accepted at this rounding)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    tok = d.select("source", F.explode(ws).alias("word"))
+    c = tok.groupBy("source", "word").agg(F.count("*").cast("long").alias("c"))
+    t = c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    j = c.join(t, "source")
+    return j.groupBy("source").agg(
+        F.max("total").alias("n_tokens"),
+        F.max("vocab").alias("vocab_size"),
+        F.round(
+            F.sum(
+                F.col("c")
+                * F.log(F.col("total").cast("double") / F.col("c"))
+            )
+            / F.max("total"),
+            4,
+        ).alias("entropy_nats"),
+    )
