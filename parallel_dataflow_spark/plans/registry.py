@@ -5214,3 +5214,53 @@ def unigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy_nats"),
     )
+
+
+_BURSTINESS_ORACLE = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(floor((1000000.0 * (count(*) * sum(c * c) - sum(c) * sum(c)))
+                / (count(*) * sum(c))) AS BIGINT) AS dispersion_micro
+    FROM hourly GROUP BY event_type
+"""
+
+
+@register_extra("burstiness_event_rate", _BURSTINESS_ORACLE)
+def burstiness_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (index of dispersion, variance-to-mean of hourly
+    counts) per event type: ~1e6 micro-units = Poisson-like arrivals,
+    higher = bursty — the arrival-process diagnostic that sizes
+    streaming micro-batches and state-store provisioning for a feed.
+
+    Determinism: population variance/mean folded as the exact-integer
+    identity D = (n·Σc² − (Σc)²) / (n·Σc) over BIGINT hourly counts —
+    fold-order-independent — with ONE floored double division to
+    micro-units at the end. Scale shape: the corpus-volume work is the
+    (type, hour) count agg (map-side combining); the dispersion fold
+    runs on the hours-bounded table."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("long").alias("c"))
+    return hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.floor(
+            (
+                F.lit(1000000.0)
+                * (
+                    F.count("*") * F.sum(F.col("c") * F.col("c"))
+                    - F.sum("c") * F.sum("c")
+                )
+            )
+            / (F.count("*") * F.sum("c"))
+        )
+        .cast("long")
+        .alias("dispersion_micro"),
+    )
