@@ -85,6 +85,12 @@ QUERIES = [
                                    # tie-breaks vs partitioning
     "retention_daily_cohorts",     # first-seen min-agg + distinct matrix
                                    # vs partitioning
+    "skew_report_sources",         # rank-weighted integer Gini: order +
+                                   # BIGINT folds vs partitioning
+    "unigram_entropy_by_source",   # vocab-bounded ln terms + weighted
+                                   # float fold at 4dp vs partitioning
+    "burstiness_event_rate",       # exact-integer dispersion identity
+                                   # vs partitioning
 ]
 
 _PROBE = r"""
