@@ -5264,3 +5264,55 @@ def burstiness_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dispersion_micro"),
     )
+
+
+_XSOURCE_DUP_ORACLE = """
+    WITH fp AS (
+      SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+
+@register_extra("cross_source_duplicate_matrix", _XSOURCE_DUP_ORACLE)
+def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    exact-duplicate fingerprints they SHARE — the provenance question
+    behind inter-source dedup policy (crawl overlap, mirrored sites,
+    re-posted corpora). The exact-duplicate sibling of the KMV vocabulary
+    overlap (corpus_overlap_kmv measures topical overlap; this measures
+    literal copying).
+
+    Scale shape: fingerprints are computed scan-side (the dedup_exact
+    hash) and the (fingerprint, source) distinct is the only
+    corpus-volume shuffle (map-side partial collapses per-source
+    repeats); the self-join runs on the distinct table where each
+    fingerprint matches at most n_sources rows — pair volume is bounded
+    by actual cross-source duplication, never O(n²) in documents."""
+    from parallel_dataflow_spark.functions.text import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        fingerprint_md5(F.col("text")).alias("fingerprint"), "source"
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_fingerprints"))
+    )
