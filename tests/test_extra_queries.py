@@ -40,3 +40,14 @@ def test_extra_rows_only_queries_run(spark, name):
     df = EXTRA_QUERIES[name](spark, SF_SMALL)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_cross_source_duplicate_matrix_nonempty_at_sf01(spark):
+    """The sf0.01 oracle gate for this entry is green-but-empty (the
+    fixture has no cross-source exact dups at that scale); sf0.1 does
+    have them — pin the non-trivial result so the operator is evidenced
+    on real duplication, not just on an empty frame."""
+    df = EXTRA_QUERIES["cross_source_duplicate_matrix"](spark, "/root/testdata/sf0.1")
+    rows = df.collect()
+    assert sum(r["n_shared_fingerprints"] for r in rows) == 8
+    assert all(r["source_a"] < r["source_b"] for r in rows)
