@@ -5316,3 +5316,104 @@ def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count("*").cast("long").alias("n_shared_fingerprints"))
     )
+
+
+def _segment_sql() -> str:
+    """Unrolled 12-step Viterbi DP oracle for unigram_segment_words: the
+    identical recurrence as operators/segment.py, one CTE pair per
+    position, scalar-subquery vocab lookups, l-ascending CASE tie order.
+    Pins the full segmentation STRING, not just the score."""
+    lens = (1, 2, 3, 4)
+    miss = -(10**15)
+    head = """
+    WITH wtok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), subs AS (
+      """ + "\n      UNION ALL\n      ".join(
+        f"""SELECT unnest(list_transform(range(1, len(word) - {l} + 2),
+                 i -> substr(word, i, {l}))) AS piece
+          FROM wtok WHERE len(word) >= {l}""" for l in lens
+    ) + """
+    ), counted AS (
+      SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+      FROM subs GROUP BY piece
+    ), filtered AS (
+      SELECT piece, cnt FROM counted WHERE len(piece) = 1 OR cnt >= 2
+    ), kept AS (
+      SELECT piece, cnt,
+             row_number() OVER (PARTITION BY len(piece)
+                                ORDER BY cnt DESC, piece ASC) AS rk
+      FROM filtered
+    ), vocab AS (
+      SELECT piece,
+             (len(bin(cnt)) - 1 - 32) * 1000
+               + CAST(concat('0x', substr(md5(piece), 1, 15)) AS BIGINT) % 997
+               AS score_micro
+      FROM kept WHERE rk <= 256
+    ), words AS (
+      SELECT DISTINCT word FROM wtok WHERE len(word) <= 12
+    ), d0 AS (
+      SELECT word, CAST(0 AS BIGINT) AS b0, '' AS s0 FROM words
+    )"""
+    steps = []
+    for i in range(1, 13):
+        cands = [
+            (
+                l,
+                f"b{i - l} + coalesce((SELECT score_micro FROM vocab v "
+                f"WHERE v.piece = substr(word, {i - l + 1}, {l})), {miss})",
+            )
+            for l in lens
+            if l <= i
+        ]
+        cand_cols = ",\n             ".join(
+            f"{expr} AS c{i}_{l}" for l, expr in cands
+        )
+        steps.append(f"""
+    x{i} AS (
+      SELECT *,
+             {cand_cols}
+      FROM d{i - 1}
+    ), d{i} AS (
+      SELECT *,
+             greatest({', '.join(f'c{i}_{l}' for l, _ in cands)}) AS b{i},
+             CASE {' '.join(
+                 f"WHEN greatest({', '.join(f'c{i}_{x}' for x, _ in cands)}) = c{i}_{l} "
+                 f"THEN s{i - l} || '|' || substr(word, {i - l + 1}, {l})"
+                 for l, _ in cands)}
+             END AS s{i}
+      FROM x{i}
+    )""")
+    blist = ", ".join(f"b{i}" for i in range(1, 13))
+    slist = ", ".join(f"s{i}" for i in range(1, 13))
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT word,
+           (list_value({blist}))[len(word)] AS best_micro,
+           substr((list_value({slist}))[len(word)], 2) AS seg
+    FROM d12
+    """
+    )
+
+
+@register_extra("unigram_segment_words", _segment_sql())
+def unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi word segmentation over a corpus-derived piece vocabulary —
+    the unigram-LM tokenizer shape (SentencePiece's decode DP) beyond
+    the pair-merge BPE family, with the FULL segmentation string pinned
+    by an unrolled-DP DuckDB oracle (operators/segment.py documents why
+    the scores are integer-exact: a 1-ulp float difference flips a
+    discrete argmax, which no output rounding can absorb).
+
+    Scale shape: corpus volume touches only the substring count and the
+    word dedup; the vocab is bounded by construction (<= 256/length),
+    collects to a map LITERAL, and the 12-step DP runs as pure
+    whole-stage-codegen expressions on the distinct-word table — zero
+    Python, zero joins in the scoring path."""
+    from parallel_dataflow_spark.operators.segment import segment_words
+
+    return segment_words(_t(spark, sf_dir, "documents"))

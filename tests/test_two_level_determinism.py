@@ -91,6 +91,9 @@ QUERIES = [
                                    # float fold at 4dp vs partitioning
     "burstiness_event_rate",       # exact-integer dispersion identity
                                    # vs partitioning
+    "unigram_segment_words",       # Viterbi DP over a collected vocab
+                                   # literal: vocab derivation + path
+                                   # choices vs partitioning
 ]
 
 _PROBE = r"""
