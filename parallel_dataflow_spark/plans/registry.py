@@ -5417,3 +5417,81 @@ def unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_dataflow_spark.operators.segment import segment_words
 
     return segment_words(_t(spark, sf_dir, "documents"))
+
+
+_AFFINITY_ORACLE = """
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), per_type AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ue GROUP BY event_type
+    ), n_users AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ue
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           CAST(floor((1000000.0 * p.n_both * nu.nu)
+                / (ta.n * tb.n)) AS BIGINT) AS lift_micro
+    FROM pairs p
+    JOIN per_type ta ON ta.event_type = p.type_a
+    JOIN per_type tb ON tb.event_type = p.type_b
+    CROSS JOIN n_users nu
+"""
+
+
+@register_extra("event_type_affinity", _AFFINITY_ORACLE)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift per user history — association
+    mining: lift = P(a,b)/(P(a)·P(b)) over users, >1e6 micro = the pair
+    co-occurs more than independence predicts. The user-behavior twin
+    of the corpus-overlap sketches.
+
+    Scale shape: ONE corpus-volume (user, type) distinct (map-side
+    partial absorbs repeat events); the pair self-join runs on the
+    distinct table where each user matches at most n_types rows — pair
+    volume is users × C(types,2) worst case, types-bounded, never
+    O(events²). Type marginals broadcast. Lift is the exact-integer
+    micro pattern: one floored double division of exact BIGINT
+    products."""
+    e = _t(spark, sf_dir, "events")
+    ue = e.select("user_id", "event_type").distinct().persist()
+    per_type = ue.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    n_users = ue.select("user_id").distinct().count()
+    a, b = ue.alias("a"), ue.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.floor(
+                (F.lit(1000000.0) * F.col("n_both") * F.lit(n_users))
+                / (F.col("na") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
