@@ -5495,3 +5495,66 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_micro"),
         )
     )
+
+
+_RFM_ORACLE = """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey
+    ), g AS (
+      SELECT max(last_order) AS d_max FROM base
+    ), scored AS (
+      SELECT b.custkey, b.frequency, b.monetary,
+             CAST(date_diff('day', b.last_order, g.d_max) AS BIGINT)
+               AS recency_days
+      FROM base b CROSS JOIN g
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, custkey ASC) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, custkey ASC) AS m_quartile
+    FROM scored
+"""
+
+
+@register_extra("orders_rfm_segments", _RFM_ORACLE)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) over orders — the classic marketing rollup, determinism
+    handled explicitly: monetary rounds to 2 dp BEFORE ranking (the q1
+    precedent for double sums) and every ntile orders with a custkey
+    tiebreak so quartile boundaries cannot depend on partitioning.
+
+    Scale shape: one custkey agg (map-side combining); the global
+    max-date is a broadcast scalar; the three ntiles are single-
+    partition windows over the CUSTOMER table — customer-bounded, not
+    order-bounded (at extreme customer counts the quartile CUTOFFS come
+    from a distributed percentile pass instead, bucket rule unchanged —
+    the perplexity_buckets note applies verbatim)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    d_max = base.agg(F.max("last_order")).collect()[0][0]
+    scored = base.select(
+        "custkey",
+        F.datediff(F.lit(d_max), F.col("last_order")).cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey"))).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey"))).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("custkey"))).alias("m_quartile"),
+    )
