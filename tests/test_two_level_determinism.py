@@ -94,6 +94,10 @@ QUERIES = [
     "unigram_segment_words",       # Viterbi DP over a collected vocab
                                    # literal: vocab derivation + path
                                    # choices vs partitioning
+    "event_type_affinity",         # distinct pair join + integer lift
+                                   # vs partitioning
+    "orders_rfm_segments",         # 2dp-rounded rank keys + tiebroken
+                                   # ntiles vs partitioning
 ]
 
 _PROBE = r"""
