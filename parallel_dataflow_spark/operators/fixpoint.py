@@ -564,6 +564,8 @@ def run_bsp(
     spec: Spec,
     max_rounds: int = 200,
     bsp_partitions: int = 8,
+    prev_state: DataFrame | None = None,
+    dirty: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed batched worklist. Per round (one BSP superstep):
 
@@ -610,6 +612,46 @@ def run_bsp(
     ).localCheckpoint()
 
     frontier = blocks.select("func_id", "block_id")
+
+    if prev_state is not None and dirty is not None:
+        # Incremental re-solve after a program edit: only blocks
+        # REACHABLE from a dirty block (in the analysis' effective
+        # direction) can have different facts — nothing else has a path
+        # from the edit, so its meet inputs are untouched. Reset exactly
+        # that region to init (a stale fact inside it must be able to
+        # RETRACT, which seeding from the old solution would prevent for
+        # union meets), keep the previous solution outside it, and seed
+        # the worklist with the region. The same superstep loop then
+        # converges to the identical fixpoint a from-scratch run
+        # produces (pinned by tests/test_fixpoint_incremental.py),
+        # after rounds proportional to the REGION's diameter, not the
+        # program's. Ghost rows for deleted blocks are dropped by the
+        # semi-join against the current block table.
+        region = dirty.select("func_id", "block_id").dropDuplicates(
+            ["func_id", "block_id"]
+        ).localCheckpoint()
+        for _ in range(max_rounds):
+            nxt = edges.join(
+                region.withColumnRenamed("block_id", "src"), ["func_id", "src"]
+            ).select("func_id", F.col("dst").alias("block_id"))
+            grown = (
+                region.unionByName(nxt)
+                .dropDuplicates(["func_id", "block_id"])
+                .localCheckpoint()
+            )
+            if grown.count() == region.count():
+                region = grown
+                break
+            region = grown
+        keep = (
+            prev_state.join(
+                blocks.select("func_id", "block_id"), ["func_id", "block_id"], "left_semi"
+            )
+            .join(region, ["func_id", "block_id"], "left_anti")
+        )
+        reset = state.join(region, ["func_id", "block_id"], "left_semi")
+        state = keep.unionByName(reset).localCheckpoint()
+        frontier = region
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
