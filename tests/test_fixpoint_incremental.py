@@ -90,3 +90,37 @@ def test_incremental_retracts_deleted_definition(spark):
     scratch = run_bsp(mut_blocks, edges, spec)
     assert canon(inc) == canon(scratch)
     assert canon(inc) != canon(full_old)  # the deletion really retracted facts
+
+
+def test_incremental_after_edge_removal(spark):
+    """CFG EDGE edits reuse the same mechanism with no new code: when an
+    edge (a -> b) is removed, b's meet inputs changed, so b is the dirty
+    seed (in the effective direction of the pass) and the dirty-reachable
+    region reset converges to the from-scratch fixpoint of the edited
+    graph."""
+    from parallel_dataflow_spark.sources.cfg_fixtures import EDGES_SCHEMA
+
+    spec = SPECS["reaching_defs"]
+    blocks, edges = fixture_dataframes(spark, seed=42)
+    full_old = run_bsp(blocks, edges, spec)
+
+    # remove one deterministic edge with alternatives (keep the graph
+    # connected enough that the pass still converges): the first edge of
+    # the first func whose dst has >= 2 incoming edges
+    ed = sorted(
+        ((r["func_id"], r["src"], r["dst"]) for r in edges.collect())
+    )
+    indeg: dict = {}
+    for f, s, d in ed:
+        indeg[(f, d)] = indeg.get((f, d), 0) + 1
+    fid, src, dst = next(
+        (f, s, d) for f, s, d in ed if indeg[(f, d)] >= 2
+    )
+    kept = [(f, s, d) for f, s, d in ed if (f, s, d) != (fid, src, dst)]
+    edges2 = spark.createDataFrame(kept, schema=EDGES_SCHEMA)
+
+    # forward pass: the removed edge changes dst's meet -> dirty = dst
+    dirty = spark.createDataFrame([(fid, dst)], "func_id string, block_id int")
+    inc = run_bsp(blocks, edges2, spec, prev_state=full_old, dirty=dirty)
+    scratch = run_bsp(blocks, edges2, spec)
+    assert canon(inc) == canon(scratch)
