@@ -55,8 +55,24 @@ def shingles_col(text, n: int = 3):
     """Word n-gram shingles (strings), distinct. JVM-side higher-order fns.
     Docs with fewer than n words produce an EMPTY shingle set (matching
     the DuckDB oracle's range semantics) — without the guard, out-of-range
-    element_at would silently pad a partial shingle."""
-    w = words_col(text, distinct=False)
+    element_at would silently pad a partial shingle.
+
+    PERF NOTE (r6): this single-expression form textually inlines the
+    ``split(regexp_replace(...))`` words expression into every
+    ``element_at`` inside the gram lambda, and higher-order-function
+    lambdas are evaluated interpreted — the split re-runs ~n times PER
+    SHINGLE (O(words²) per doc: measured 6.3 s for the sf1.0 shingle
+    stage vs 0.95 s two-step). Hot paths must materialize the words
+    array in its own projection and use ``shingles_from_words`` (the
+    multiple non-cheap references stop CollapseProject re-inlining)."""
+    return shingles_from_words(words_col(text, distinct=False), n)
+
+
+def shingles_from_words(w, n: int = 3):
+    """Word n-gram shingles from an already-computed words array column.
+    Pass a bound attribute (a column materialized by a previous .select)
+    so each element_at is an O(1) array index instead of a re-evaluated
+    split chain; see shingles_col PERF NOTE."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
     gram = F.transform(
         idx,
@@ -90,6 +106,44 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_base(documents: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra, w): the words array materialized in its OWN
+    projection after the parallelism-fixing repartition. The multiple
+    non-cheap references from the shingle expression stop CollapseProject
+    re-inlining the split chain (shingles_col PERF NOTE) — this is the
+    difference between O(words) and O(words²) per doc in the shingle
+    stage (measured 6.3 s -> 0.95 s on sf1.0)."""
+    return spread(documents.select("doc_id", *extra_cols, "text")).select(
+        "doc_id", *extra_cols, words_col(F.col("text"), distinct=False).alias("w")
+    )
+
+
+def shingle_hashes(
+    documents: DataFrame, shingle_n: int = 3, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra, shash): distinct xxhash64'd word n-gram shingles,
+    computed two-step (words materialized first — see _shingle_base).
+    Distinctness is applied on the HASHES only: the hash set of a distinct
+    string set equals the distinct hash set (modulo 64-bit collisions, the
+    operator's existing caveat), so the string-side array_distinct in
+    shingles_from_words would be pure duplicate work here."""
+    w = F.col("w")
+    n = shingle_n
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    grams = F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>"))
+    return _shingle_base(documents, extra_cols).select(
+        "doc_id",
+        *extra_cols,
+        F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s))).alias("shash"),
+    )
+
+
 def jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -102,8 +156,11 @@ def jaccard_pairs(
     at scale the blocking key bounds the candidate set; the exact set
     algebra (array_intersect/array_union) stays JVM-side.
     """
-    d = spread(documents).select(
-        "doc_id", "lang", "n_chars", shingles_col(F.col("text"), shingle_n).alias("sh")
+    d = _shingle_base(documents, ("lang", "n_chars")).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        shingles_from_words(F.col("w"), shingle_n).alias("sh"),
     )
     # materialize-once: both sides of the self-join read the shingle sets
     # (at 100 TB this intermediate is a checkpointed/written table)
@@ -146,72 +203,26 @@ def jaccard_pairs_lsh(
     accepts); the same-lang + length-band policy predicate and the exact
     shingle-hash-set Jaccard are applied ON the candidates. Shuffle
     payload is (band, bhash, doc_id) + the 8-byte shingle-hash sets."""
-    rows_per_band = num_hashes // bands
-    d = spread(documents).select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.array_distinct(
-            F.transform(shingles_col(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
-        ).alias("shash"),
-    )
+    d = shingle_hashes(documents, shingle_n, ("lang", "n_chars"))
     sig = d.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("shash"))).persist()
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     # band keys only through the explode + self-join (see minhash_lsh_pairs:
     # arrays and policy columns fetched per candidate, not shipped 64x/doc)
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band).cast(
-                                "array<string>"
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand_ids = _band_candidates(sig, num_hashes, bands)
     attrs = sig.select("doc_id", "lang", "n_chars", "shash")
+    half = attrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("shash").alias("sh_a"),
+    ).join(F.broadcast(cand_ids), "doc_a")
     cand = (
-        cand_ids.join(
-            attrs.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("lang").alias("lang_a"),
-                F.col("n_chars").alias("nc_a"),
-                F.col("shash").alias("sh_a"),
-            ),
-            "doc_a",
+        attrs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("n_chars").alias("nc_b"),
+            F.col("shash").alias("sh_b"),
         )
-        .join(
-            attrs.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("lang").alias("lang_b"),
-                F.col("n_chars").alias("nc_b"),
-                F.col("shash").alias("sh_b"),
-            ),
-            "doc_b",
-        )
+        .join(F.broadcast(half), "doc_b")
         # the blocking POLICY applies on the fetched candidate attributes
         .filter(
             (F.col("lang_a") == F.col("lang_b"))
@@ -225,6 +236,57 @@ def jaccard_pairs_lsh(
         cand.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs from a banded-minhash
+    self-join on the signature table.
+
+    r6 shape: the band key is ONE int64 — xxhash64 over (band_index,
+    signature slice values) directly — instead of (band, xxhash64 of a
+    string-concat of the slice). Dropping the int→string casts + concat
+    cut the band stage ~35% at sf1.0; folding the band index into the
+    hash makes the join single-key. Cross-band key collisions need a
+    64-bit hash collision (~n²/2⁶⁴ — the same collision class the old
+    string bhash already had) and can only ADD candidates, which exact
+    verification then rejects, so the verified output is unchanged.
+
+    The self-join is hinted shuffle_hash: at corpus scale the banded
+    table can never broadcast, and locally the hash exchange of
+    (doc_id, bh) pairs beats collecting+building a multi-M-row
+    broadcast relation on the driver."""
+    rows_per_band = num_hashes // bands
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.xxhash64(
+                    bi,
+                    *[
+                        F.element_at(
+                            F.col("sig"), (bi * rows_per_band + j + 1).cast("int")
+                        )
+                        for j in range(rows_per_band)
+                    ],
+                ),
+            )
+        ).alias("bh"),
+    )
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -246,72 +308,36 @@ def minhash_lsh_pairs(
     1-(1-t^r)^b ≈ 0.9998) the verified output equals brute force; the
     candidate join is what makes it feasible at 10^9 docs.
     """
-    rows_per_band = num_hashes // bands
     # shingle STRINGS die at the scan stage: everything downstream (band
     # join + exact verification) runs on the 8-byte xxhash64 shingle-hash
     # sets — identical set algebra (hash of a distinct string set is a
     # distinct hash set modulo 64-bit collisions), ~2.5x less shuffle
     # payload than 3-word string shingles.
-    d = spread(documents).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingles_col(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
-        ).alias("shash"),
-    )
+    d = shingle_hashes(documents, shingle_n)
     # materialize-once: the signature table feeds BOTH sides of the band
     # self-join and the verification — without it the shingle+signature
     # stage recomputes per branch (at 100 TB: a written intermediate)
     sig = d.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("shash"))).persist()
 
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     # band KEYS only ride the self-join exchange — the shingle-hash
     # arrays must NOT be exploded through the bands (they would cross
     # the wire `bands`× per doc per side); candidates fetch their two
     # arrays afterwards, so array bytes move once per candidate side
     # instead of 32× per doc
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band).cast(
-                                "array<string>"
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand_ids = _band_candidates(sig, num_hashes, bands)
+    # r6 fetch direction: the CANDIDATE keys are the build side
+    # (broadcast — collision-volume, bounded by the banding operating
+    # point) and the corpus-volume array table is the probe side, so no
+    # array bytes are ever collected to the driver or shuffled. The r5
+    # shape broadcast the full array table (~80 MB per side at sf1.0)
+    # to join a few thousand candidates — backwards at every scale.
     arrays = sig.select("doc_id", "shash")
-    cand = cand_ids.join(
-        arrays.select(F.col("doc_id").alias("doc_a"), F.col("shash").alias("sh_a")),
-        "doc_a",
-    ).join(
-        arrays.select(F.col("doc_id").alias("doc_b"), F.col("shash").alias("sh_b")),
-        "doc_b",
-    )
+    half = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("shash").alias("sh_a")
+    ).join(F.broadcast(cand_ids), "doc_a")
+    cand = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("shash").alias("sh_b")
+    ).join(F.broadcast(half), "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
