@@ -58,34 +58,53 @@ def kgram_hashes(text: Column, k: int = 8) -> Column:
 def winnow_fingerprints_df(df, text_col: str = "text", k: int = 8, w: int = 4):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken) as a
     DataFrame op: rolling k-char-gram md5 hashes → sliding min per window
-    of w grams → distinct. Returns (doc_id, fingerprint) rows.
+    of w grams → distinct per doc. Returns (doc_id, fingerprint) rows.
 
-    Implementation note: the window mins are computed via posexplode +
-    an analytic ``min OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN
-    CURRENT AND w-1 FOLLOWING)`` — NOT nested array lambdas, because
-    Catalyst's CollapseProject inlines the gram-array expression into a
-    higher-order lambda, re-hashing the whole array per window position
-    (O(m²) md5 calls per doc — measured: a long doc hangs the task).
-    The exploded form is linear, JVM-side, and shuffles by doc_id."""
-    from pyspark.sql import Window
+    r6 shape — fully scan-side, ZERO exchanges: the sliding-window min is
+    computed on the per-row gram ARRAY (w-way least() over materialized
+    array elements, O(1) each), and per-doc distinctness is array_distinct
+    before the explode — which IS the output contract (fingerprints are
+    distinct per (doc_id, fingerprint)), so no global distinct shuffle is
+    needed. The r5 form exploded every gram position and ran two analytic
+    windows over it: at sf1.0 that was a ~50M-row exchange + sort
+    (measured 32 s); this form is 1.5 s of embarrassingly parallel
+    per-row compute — at 100 TB it rides the scan like every other
+    filter.
 
-    g = df.select(
-        "doc_id", F.posexplode(kgram_hashes(F.col(text_col), k)).alias("pos", "gram")
+    Two CollapseProject traps avoided by materializing intermediates in
+    their own projections (multiple non-cheap references pin the
+    boundary): the normalized text (else the regexp chain re-runs per
+    gram position) and the gram array (else each of the w least() slots
+    re-runs the md5 transform)."""
+    from parallel_dataflow_spark.operators.dedup import spread  # lazy: avoids import cycle
+
+    nt = spread(df.select("doc_id", text_col), ["doc_id"]).select(
+        "doc_id", norm_text(F.col(text_col)).alias("nt")
     )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    total = Window.partitionBy("doc_id")
-    fps = (
-        g.select(
-            "doc_id",
-            "pos",
-            F.min("gram").over(win).alias("fingerprint"),
-            F.count("*").over(total).alias("m"),
-        )
-        .filter(F.col("pos") <= F.col("m") - w)  # full windows only
-        .select("doc_id", "fingerprint")
-        .distinct()
+    n = F.length(F.col("nt"))
+    grams_expr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.md5(F.col("nt").substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = nt.select("doc_id", grams_expr.alias("grams"))
+    ga = F.col("grams")
+    m = F.size(ga)
+    mins = F.when(
+        m >= w,
+        F.transform(
+            # window start positions 1..m-w+1 (1-based): full windows only
+            F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+            lambda i: F.least(
+                *[F.element_at(ga, (i + j).cast("int")) for j in range(w)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return g.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
-    return fps
 
 
 def word_count_expr(text: Column) -> Column:

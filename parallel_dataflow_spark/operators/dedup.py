@@ -112,8 +112,15 @@ def _shingle_base(documents: DataFrame, extra_cols: tuple[str, ...] = ()) -> Dat
     non-cheap references from the shingle expression stop CollapseProject
     re-inlining the split chain (shingles_col PERF NOTE) — this is the
     difference between O(words) and O(words²) per doc in the shingle
-    stage (measured 6.3 s -> 0.95 s on sf1.0)."""
-    return spread(documents.select("doc_id", *extra_cols, "text")).select(
+    stage (measured 6.3 s -> 0.95 s on sf1.0).
+
+    The parallelism fix uses a HASH repartition on doc_id, not
+    round-robin: round-robin pays a local sort of the text payload on
+    the (single) scan task first (spark.sql.execution.sortBeforeRepartition,
+    needed for deterministic retries), while hash partitioning is
+    deterministic for free — measured another ~0.3 s off the sf1.0
+    shingle stage."""
+    return spread(documents.select("doc_id", *extra_cols, "text"), ["doc_id"]).select(
         "doc_id", *extra_cols, words_col(F.col("text"), distinct=False).alias("w")
     )
 
@@ -379,7 +386,7 @@ def simhash_pairs(
         whash = F.transform(words_col(F.col("text")), md5_60bit)
     else:
         whash = F.transform(words_col(F.col("text")), lambda w: F.xxhash64(w))
-    d = spread(documents).select(
+    d = spread(documents.select("doc_id", "text"), ["doc_id"]).select(
         "doc_id", whash.alias("whash")
     ).withColumn("simhash", simhash64_udf(F.col("whash"))).persist()
 
@@ -476,7 +483,17 @@ def exact_substring_spans(
     from pyspark.sql import Window
 
     toks = words_col(F.col("text"), distinct=False)
-    d = documents.select("doc_id", toks.alias("t"))
+    # spread: gram building is per-row-heavy (w-word slice + hash per
+    # token position) and the scan is row-group-bound on single-file
+    # inputs; hash-repartition by doc_id parallelizes it (no-op when the
+    # scan is already parallel). Gram hash is xxhash64 over the token
+    # slice ARRAY — same equality classes as the r5 md5-of-concat (words
+    # contain no whitespace, so concat is injective on slices) at 8
+    # bytes/key instead of a 32-char string through the self-join
+    # exchange, and no per-position string concat allocation.
+    d = spread(documents.select("doc_id", "text"), ["doc_id"]).select(
+        "doc_id", toks.alias("t")
+    )
     grams = d.select(
         "doc_id",
         F.posexplode(
@@ -484,9 +501,9 @@ def exact_substring_spans(
                 F.size("t") >= w,
                 F.expr(
                     f"transform(sequence(0, size(t) - {w}),"
-                    f" i -> md5(concat_ws(' ', slice(t, i + 1, {w}))))"
+                    f" i -> xxhash64(slice(t, i + 1, {w})))"
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("pos", "h"),
     )
     if max_gram_df is not None:
@@ -553,13 +570,17 @@ def c4_span_dedup(
     from pyspark.sql import Window
 
     w = int(span_words)
-    words = F.split(F.col(text_col), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    # words materialized in their own projection (see shingles_col PERF
+    # NOTE): the span lambda's slice() would otherwise re-run the split
+    # once per span block — O(words²/w) per doc
+    base = documents.select("doc_id", F.split(F.col(text_col), " ").alias("wds"))
+    wds = F.col("wds")
+    n_spans = F.ceil(F.size(wds) / F.lit(float(w))).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        lambda i: F.array_join(F.slice(wds, i * w + 1, w), " "),
     )
-    trip = documents.select(
+    trip = base.select(
         "doc_id", F.posexplode(spans).alias("span_idx", "span")
     ).select("doc_id", "span_idx", F.xxhash64("span").alias("h"))
     first = Window.partitionBy("h").orderBy("doc_id", "span_idx")
@@ -570,7 +591,7 @@ def c4_span_dedup(
         .agg(F.sort_array(F.collect_list("span_idx")).alias("rem"))
     )
     return (
-        documents.join(rem, "doc_id", "left")
+        base.join(rem, "doc_id", "left")
         .select(
             "doc_id",
             n_spans.alias("n_spans"),
