@@ -97,7 +97,18 @@ def heavy_hitters_exact(
     ``items[col]`` is an array<string> column (one array per row). Output:
     (key_alias, cnt bigint, share double rounded to 6). Exact: the MG
     stage only prunes keys that provably cannot pass the threshold.
+
+    materialize-once (r6): ``items`` feeds THREE consumers (MG summary,
+    total-count agg, recount explode). Without the persist each consumer
+    re-derives the key arrays — and the recount's Generate additionally
+    inlines the array-building expression through its child projections
+    (the optimizer substitutes generator inputs regardless of reference
+    counts, re-running the underlying split per element — measured 10+
+    copies of the split chain in the plan and 60-140 s at sf1.0 vs ~3 s
+    cached). At 100 TB this intermediate is a written table, per the
+    LSH-signature convention in operators/dedup.py.
     """
+    items = items.persist()
     cand = mg_candidates(items, col, theta)
     total = items.agg(
         F.sum(F.coalesce(F.size(F.col(col)), F.lit(0))).cast("long").alias("total")

@@ -143,47 +143,65 @@ def embedding_lsh_pairs(
     exactly (plans/registry.py dedup_embedding_lsh).
     """
     sign_buckets = _sign_buckets_udf(bits_per_table, tables, seed)
-    # bucket KEYS only through the explode + self-join: the float vector
-    # must not ride the exchange `tables`x per side (the LSH-band rule
-    # shared with operators/dedup.py); candidates fetch their two vectors
-    # from the embeddings scan afterwards
-    b = embeddings.select(
+    # r6 execution (guide §1.2 — fix the algorithm before the code): at
+    # this operator's pinned operating point (2^bits buckets per table,
+    # bucket population ~n/2^bits) the candidate count grows ~n²/2^bits —
+    # measured at sf1.0: 203M raw / 130M distinct candidate pairs from
+    # 20k vectors, and the r5 shape paid BOTH a 130M-row dropDuplicates
+    # exchange and 130M interpreted-HOF cosines (244 s). Verification is
+    # therefore reordered: vectors ride the (table, bucket) explode ONCE
+    # (tables × vector bytes — 160 MB here, vs >3 GB of candidate keys),
+    # each bucket verifies ALL its pairs with one dense numpy GEMM, and
+    # only VERIFIED pairs (output-volume × ≤tables duplicates) reach the
+    # dedup exchange. Verify-then-dedup instead of dedup-then-verify.
+    # The keys-only band-join shape (operators/dedup.py) remains right
+    # when candidates ≪ n²; at a near-quadratic operating point the
+    # per-bucket GEMM is the optimal execution of the same definition.
+    thr = float(threshold)
+
+    exploded = embeddings.select(
         F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
         F.posexplode(sign_buckets(F.col(vec_col))).alias("tbl", "bucket"),
-    )
-    a, c = b.alias("a"), b.alias("b")
-    cand_ids = (
-        a.join(
-            c,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
+    ).select("vid", "vec", "tbl", "bucket")
+
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["vid"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(
+            pdf["vec"].iloc[order].map(lambda v: np.asarray(v, dtype=np.float64)).to_list()
         )
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
+        sims = mat @ mat.T
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        denom = np.maximum(norms[:, None] * norms[None, :], 1e-12)
+        sims /= denom
+        ia, ib = np.triu_indices(n, k=1)
+        c = sims[ia, ib]
+        # HALF_UP 4dp rounding (Spark's round / DuckDB's round for the
+        # positive values the threshold admits)
+        rounded = np.floor(c * 1e4 + 0.5) / 1e4
+        keep = rounded >= thr
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cosine": rounded[keep],
+            }
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+
+    verified = exploded.groupBy("tbl", "bucket").applyInPandas(
+        verify_bucket, schema="vec_a long, vec_b long, cosine double"
     )
-    vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    cand = cand_ids.join(
-        vecs.select(F.col("vid").alias("vec_a"), F.col("vec").alias("va")), "vec_a"
-    ).join(
-        vecs.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vb")), "vec_b"
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nrm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    cos = dot / F.greatest(nrm(F.col("va")) * nrm(F.col("vb")), F.lit(1e-12))
-    return (
-        cand.withColumn("cosine", F.round(cos, 4))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+    # a pair verified in several tables carries the identical cosine in
+    # each — dedup runs on output-volume rows only
+    return verified.dropDuplicates(["vec_a", "vec_b"]).select(
+        "vec_a", "vec_b", "cosine"
     )
 
 

@@ -1016,17 +1016,32 @@ def heavy_hitter_bigrams_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the shape that survives an unbounded n-gram key space at 100 TB."""
     from parallel_dataflow_spark.operators.heavy_hitters import heavy_hitters_exact
 
-    d = _t(spark, sf_dir, "documents")
+    # r6: hash-repartition the docs BEFORE bigram building (dd.spread —
+    # the scan is row-group-bound on single-file inputs, which ran the
+    # whole MG fold and the recount explode on ONE task: 82 s at sf1.0).
+    # MG's superset guarantee is per-partition (pigeonhole over ANY
+    # partitioning) and the recount is exact, so the output is
+    # partitioning-independent by construction. 82 s -> ~2 s.
+    d = dd.spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), ["doc_id"])
     ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("ws")) - 1),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("ws"), i.cast("int")),
-            F.element_at(F.col("ws"), (i + 1).cast("int")),
+    # short-doc guard lives INSIDE the projection (when(), not a filter):
+    # a filter between the ws projection and the gram projection lets
+    # PushDownPredicate make the projects adjacent and CollapseProject
+    # re-inline the split chain into every element_at of the gram lambda
+    # (15 copies of split() in the plan, O(words²) per doc — the 60 s
+    # residual after the spread fix)
+    grams = F.when(
+        F.size(F.col("ws")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("ws")) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i.cast("int")),
+                F.element_at(F.col("ws"), (i + 1).cast("int")),
+            ),
         ),
-    )
-    b = d.select(ws.alias("ws")).filter(F.size("ws") >= 2).select(grams.alias("bigrams"))
+    ).otherwise(F.array().cast("array<string>"))
+    b = d.select(ws.alias("ws")).select(grams.alias("bigrams"))
     return heavy_hitters_exact(b, "bigrams", theta=0.0015, key_alias="bigram")
 
 
