@@ -412,20 +412,32 @@ def simhash_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    joined = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.ckey") == F.col("b.ckey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # r6: pair dedup WITHOUT a shuffle. A pair matching in k chunks
+    # surfaces k times; instead of dropDuplicates (at sf1.0: a 141M-row
+    # pair exchange — the near-dup families in the synthetic corpus make
+    # the output itself ~141M pairs), keep each pair only at its FIRST
+    # matching chunk: both simhashes already ride the join row, so
+    # "no earlier chunk agrees" is a pure codegen predicate on
+    # xor(sh_a, sh_b) and the duplicate rows die in-stage. Exactly one
+    # row per pair survives — identical output, zero pair exchanges.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    earlier_match = F.lit(False)
+    for ci, (lo, hi) in enumerate(bounds):
+        chunk_eq = (
+            F.shiftright(xor, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1)) == 0
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        earlier_match = earlier_match | ((F.col("a.chunk") > ci) & chunk_eq)
+    cand = joined.filter(~earlier_match).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (

@@ -225,6 +225,27 @@ def _kmeans_argmin(cents: list[list[float]], emb_col: str = "emb"):
     return F.array_min(F.array(*choices))["c"].cast("int")
 
 
+def _emb_frame(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(doc_id, emb: array<double>) — spread + persisted (r6). The
+    iterative trainers (kmeans_fit / pq_fit) re-scan this frame once per
+    Lloyd round, plus the encode, query-collect and rerank passes; on
+    single-file inputs the scan is row-group-bound (ONE task ran every
+    interpreted argmin fold), and without the persist each of those ~5-8
+    jobs re-decoded the parquet and re-cast the vectors. Hash-partition
+    by doc_id (deterministic, no round-robin sort); 6-dp rounding in the
+    trainers absorbs partition-order float noise per the shared
+    determinism contract."""
+    from parallel_dataflow_spark.operators.dedup import spread
+
+    return spread(
+        embeddings.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(vec_col).cast("array<double>").alias("emb"),
+        ),
+        ["doc_id"],
+    ).persist()
+
+
 def kmeans_fit(
     emb: DataFrame, k: int, iters: int
 ) -> list[list[float]]:
@@ -290,10 +311,7 @@ def kmeans_assign(
     cf. knn_cosine_ivf which probes fixed seed centroids). Training and
     the scale/determinism argument live in kmeans_fit; this wrapper runs
     the final JVM argmin assignment."""
-    emb = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
-    )
+    emb = _emb_frame(embeddings, id_col, vec_col)
     cents = kmeans_fit(emb, k, iters)
     return emb.withColumn("cluster", _kmeans_argmin(cents)).select(
         "doc_id", "cluster"
@@ -412,10 +430,7 @@ def pq_topk(
     Output (query_id, vec_id, dist|approx_dist, rank), self-match
     excluded.
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
-    )
+    emb = _emb_frame(embeddings, id_col, vec_col)
     books, dsub = pq_fit(emb, m, k, iters)
     codes = pq_encode(emb, books, dsub)
     qrows = emb.filter(F.col("doc_id") < n_queries).orderBy("doc_id").collect()
@@ -535,10 +550,7 @@ def ivf_pq_topk(
     (residuals are rounded to 6 dp on both engines), replayed end-to-end
     by the DuckDB oracles (plans/registry.py: knn_ivf_pq_top5,
     knn_ivf_pq_residual_top5)."""
-    emb = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
-    )
+    emb = _emb_frame(embeddings, id_col, vec_col)
     spark = embeddings.sparkSession
     cents = kmeans_fit(emb, kc, iters)
     assigned = emb.withColumn("cluster", _kmeans_argmin(cents))
@@ -701,10 +713,7 @@ def semdedup(
     BEFORE the tau comparison and the rank ordering; rank ties break on
     doc_id. Returns (doc_id, cluster, cent_cos, kept).
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
-    )
+    emb = _emb_frame(embeddings, id_col, vec_col)
     cents = kmeans_fit(emb, k, iters)
 
     def _dot(a, b):

@@ -1078,20 +1078,30 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so its distinct n-gram set broadcasts; corpus n-grams
     die map-side on the broadcast semi-ish join — the corpus tail never
     shuffles (the decontamination twin of the MG heavy-hitter plan)."""
-    d = _t(spark, sf_dir, "documents")
+    # r6: spread (row-group-bound scan), short-doc guard inside the
+    # projection, and the gram-array frame persisted — it feeds both the
+    # eval-set branch and the corpus branch, and an un-materialized
+    # explode lets the optimizer inline the gram construction into the
+    # Generate (re-running the split per element; the heavy-hitter
+    # lesson, operators/heavy_hitters.py). 4.4 s -> ~1 s at sf1.0.
+    d = dd.spread(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"), ["doc_id"])
     ws = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
-    grams4 = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("ws")) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            *[F.element_at(F.col("ws"), (i + k).cast("int")) for k in range(4)],
+    grams4 = F.when(
+        F.size(F.col("ws")) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("ws")) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("ws"), (i + k).cast("int")) for k in range(4)],
+            ),
         ),
-    )
-    g = (
+    ).otherwise(F.array().cast("array<string>"))
+    garr = (
         d.select("doc_id", "source", ws.alias("ws"))
-        .filter(F.size("ws") >= 4)
-        .select("doc_id", "source", F.explode(grams4).alias("gram"))
+        .select("doc_id", "source", grams4.alias("grams"))
+        .persist()
     )
+    g = garr.select("doc_id", "source", F.explode("grams").alias("gram"))
     eval_grams = g.filter(F.col("source") == "src19").select("gram").distinct()
     # join BEFORE dedup: the broadcast join kills the corpus tail map-side,
     # so the only shuffle carries eval-hit grams; countDistinct dedups
