@@ -627,9 +627,23 @@ def run_bsp(
         # after rounds proportional to the REGION's diameter, not the
         # program's. Ghost rows for deleted blocks are dropped by the
         # semi-join against the current block table.
-        region = dirty.select("func_id", "block_id").dropDuplicates(
-            ["func_id", "block_id"]
-        ).localCheckpoint()
+        # seed = dirty ∪ blocks ABSENT from prev_state (r6, ADVICE): a
+        # newly added block the caller forgot to list in `dirty` would
+        # otherwise fall outside keep∪reset and silently vanish from the
+        # solution (its successors' meets would ignore it)
+        region = (
+            dirty.select("func_id", "block_id")
+            .unionByName(
+                blocks.select("func_id", "block_id").join(
+                    prev_state.select("func_id", "block_id"),
+                    ["func_id", "block_id"],
+                    "left_anti",
+                )
+            )
+            .dropDuplicates(["func_id", "block_id"])
+            .localCheckpoint()
+        )
+        stabilized = False
         for _ in range(max_rounds):
             nxt = edges.join(
                 region.withColumnRenamed("block_id", "src"), ["func_id", "src"]
@@ -641,8 +655,15 @@ def run_bsp(
             )
             if grown.count() == region.count():
                 region = grown
+                stabilized = True
                 break
             region = grown
+        if not stabilized:
+            # r6 (ADVICE): a reachable set that did not stabilize within
+            # max_rounds would silently truncate the reset region and
+            # converge to a WRONG incremental fixpoint — degrade to a
+            # full re-solve (reset everything) instead
+            region = blocks.select("func_id", "block_id").localCheckpoint()
         keep = (
             prev_state.join(
                 blocks.select("func_id", "block_id"), ["func_id", "block_id"], "left_semi"

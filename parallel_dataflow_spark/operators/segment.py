@@ -106,7 +106,16 @@ def segment_words(documents: DataFrame) -> DataFrame:
     flat: list = []
     for k, v in sorted(vocab.items()):
         flat += [F.lit(k), F.lit(v)]
-    m = F.create_map(*flat)
+    # empty-corpus guard (r6, ADVICE): create_map() with zero args raises
+    # at plan build; a typed empty map keeps the DP well-formed (every
+    # piece scores MISS) and the empty corpus yields an empty result
+    m = (
+        F.create_map(*flat)
+        if flat
+        else F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<bigint>")
+        )
+    )
 
     words = (
         documents.select(_words_col().alias("word"))

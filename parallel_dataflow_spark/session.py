@@ -51,6 +51,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r6 (guide §2.2/§2.5): AQE coalescing targets for this engine's
+        # CPU-dense text/hash operator stages, where the right partition
+        # size follows CPU seconds, not bytes — the 64 MB/1 MB defaults
+        # collapse a few-MB-but-expensive shuffle (shingle sets, band
+        # keys, gram streams) onto a handful of cores. Local defaults
+        # 8m/256k measured -20..-25% on the sf1.0 headline set (A/B both
+        # orders, OPTIMIZATION_r06.md); production scan-heavy relational
+        # stages want the classic 64-256m/1m — both env-overridable, and
+        # the knob scales with data because AQE still sizes partitions
+        # from actual shuffle bytes.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

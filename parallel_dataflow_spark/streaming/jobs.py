@@ -1875,13 +1875,17 @@ def run_matview_job(
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         reg_sink.write_batch(batch_df, batch_id)
-        touched = [
-            r["window_start"]
-            for r in batch_df.select("window_start").distinct().collect()
-        ]
-        if not touched:
+        # touched-window selection as a broadcast LEFT-SEMI join (r6,
+        # ADVICE): a replay/backfill micro-batch touching thousands of
+        # windows would otherwise build an unbounded IN-list literal on
+        # the driver (collect + analysis cost); the semi-join keeps the
+        # per-batch derived work bounded without driver materialization
+        touched = batch_df.select("window_start").distinct()
+        if touched.limit(1).count() == 0:
             return
-        regs = reg_sink.read(spark).filter(F.col("window_start").isin(touched))
+        regs = reg_sink.read(spark).join(
+            F.broadcast(touched), "window_start", "left_semi"
+        )
         est_sink.write_batch(hll_estimate(regs, ["window_start"]), batch_id)
 
     stream = read_sequence_stream(spark, input_dir, max_files_per_trigger)
