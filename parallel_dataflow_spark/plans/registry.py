@@ -426,10 +426,14 @@ def first_ship_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of-style range join: earliest shipment at-or-after each order
     date (range predicate + equi-key; the asof pattern from the engine's
     join surface)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem")
+    # r6: shuffle_hash on the equi-key (q3's lesson): the probe + the
+    # 1.5M-group partial agg run at shuffle parallelism instead of on
+    # the row-group-bound scan tasks, and the groupBy(o_orderkey)
+    # reuses the join partitioning — no extra exchange
     return (
-        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate >= o.o_orderdate))
+        li.join(o.hint("shuffle_hash"), (li.l_orderkey == o.o_orderkey) & (li.l_shipdate >= o.o_orderdate))
         .groupBy("o_orderkey")
         .agg(
             _epoch(F.min("l_shipdate")).alias("first_ship_epoch"),
