@@ -116,6 +116,71 @@ def test_decontaminate_benchmark_grams_broadcast(plans):
     assert "BroadcastHashJoin" in plans["decontaminate_ngram"]
 
 
+def test_no_expression_reinlining_into_lambdas(plans):
+    """r6 regression gate: Catalyst re-inlines a non-cheap words/grams
+    expression into every element_at/slice of a HOF lambda (and a
+    Generate inlines its operand through child projections) unless the
+    hot paths materialize the array in its own multi-referenced
+    projection / persist it. The buggy plans carried 10-15 textual
+    copies of the split chain, each re-evaluated PER ELEMENT at runtime
+    (O(words²) per doc — 6-140 s regressions at sf1.0). Healthy plans
+    show the chain once per branch plus once per InMemoryRelation
+    print."""
+    bounds = {
+        "dedup_minhash_lsh": 5,
+        "dedup_ngram_jaccard": 5,
+        "heavy_hitter_bigrams_mg": 4,
+        "decontaminate_ngram": 4,
+        "tokenize_documents": 2,
+    }
+    for name, bound in bounds.items():
+        n = plans[name].count("split(")
+        assert n <= bound, (name, n)
+
+
+def test_winnow_is_scan_side_zero_exchanges(plans):
+    """r6: winnowing computes the sliding min on the per-row gram array
+    and per-doc distinctness before the explode — the whole operator
+    must plan with ZERO exchanges and exactly one md5 transform (the r5
+    form was a corpus×positions explode + two analytic windows + global
+    distinct)."""
+    p = plans["fingerprint_winnow"]
+    assert "ENSURE_REQUIREMENTS" not in p, p
+    assert p.count("md5(") == 1, p.count("md5(")
+
+
+def test_shuffle_hash_joins_share_partitioning(plans, spark):
+    """r6: q3/topk/stream-join use shuffle-hash joins whose output
+    partitioning is REUSED by the downstream window/aggregate — exactly
+    the join's two exchanges, no third exchange for the rank/groupBy."""
+    for name in (
+        "q3_top_orders",
+        "topk_orders_per_customer",
+        "events_stream_join_10m",
+    ):
+        p = plans[name]
+        assert "ShuffledHashJoin" in p, name
+        assert p.count("ENSURE_REQUIREMENTS") == 2, (
+            name,
+            p.count("ENSURE_REQUIREMENTS"),
+        )
+    # session agg reuses the explicit user repartition: no ENSURE
+    # exchange anywhere in the plan
+    psess = plan(QUERIES["events_session_5m"](spark, SF))
+    assert "ENSURE_REQUIREMENTS" not in psess
+    assert "REPARTITION_BY_NUM" in psess
+
+
+def test_simhash_pair_dedup_is_predicate_not_shuffle(plans):
+    """r6: simhash dedups pairs with the first-matching-chunk codegen
+    predicate — the plan must contain NO aggregate-based dropDuplicates
+    exchange between the self-join and the output (at sf1.0 that
+    exchange carried 141M pair rows)."""
+    assert "ENSURE_REQUIREMENTS" not in plans["dedup_simhash"], plans[
+        "dedup_simhash"
+    ]
+
+
 def test_ivf_pq_plans_broadcast_and_partial_topk(spark):
     """The composed ANN's scan-side plan: shortlist + ADC tables arrive
     via broadcast, and the per-query candidate ranking is a
