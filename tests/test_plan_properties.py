@@ -57,6 +57,14 @@ SWEEP = [
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    # Cold-cache requirement: earlier suite modules execute the graded
+    # queries in-process (oracle parity) and leave their persisted
+    # frames cached; a cache hit on a sub-plan here nests extra
+    # InMemoryRelation prints, each re-printing the expression chain the
+    # reinlining gate counts textually. Clearing first makes the plan
+    # strings identical to a standalone run, which is what the pinned
+    # bounds were calibrated against.
+    spark.catalog.clearCache()
     return {name: plan(QUERIES[name](spark, SF)) for name in SWEEP}
 
 
